@@ -1,0 +1,273 @@
+"""Model / training configuration dataclasses.
+
+The reference (pixeli99/SVD_Xtend) carries configuration implicitly in the
+pretrained checkpoint configs and ~40 argparse flags (train_svd.py:294-569).
+Here everything is explicit, hashable (so it can be a static jit argument),
+and serializable to JSON for checkpoint round-trips.
+
+Defaults reproduce the SVD checkpoint config vendored at
+reference ``src/unet_spatio_temporal_condition.py:70-96``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Tuple
+
+
+def _asdict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _JsonMixin:
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in names:
+                continue
+            if isinstance(v, list):
+                v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+            kwargs[k] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str):
+        return cls.from_dict(json.loads(s))
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig(_JsonMixin):
+    """Spatio-temporal conditional UNet (SVD architecture).
+
+    Field semantics mirror the checkpoint config the reference loads
+    (reference src/unet_spatio_temporal_condition.py:70-96); the module
+    tree that consumes them is a fresh JAX design (see models/unet.py).
+    """
+
+    sample_size: int = 96
+    in_channels: int = 8          # 4 noisy latent + 4 concat first-frame cond
+    out_channels: int = 4
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlockSpatioTemporal",
+        "CrossAttnDownBlockSpatioTemporal",
+        "CrossAttnDownBlockSpatioTemporal",
+        "DownBlockSpatioTemporal",
+    )
+    up_block_types: Tuple[str, ...] = (
+        "UpBlockSpatioTemporal",
+        "CrossAttnUpBlockSpatioTemporal",
+        "CrossAttnUpBlockSpatioTemporal",
+        "CrossAttnUpBlockSpatioTemporal",
+    )
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 768  # 3 * 256
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    transformer_layers_per_block: Tuple[int, ...] = (1, 1, 1, 1)
+    num_attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
+    num_frames: int = 25
+    resnet_eps: float = 1e-5
+    norm_eps: float = 1e-6        # GroupNorm inside transformer models
+    dropout: float = 0.0
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    def scaled(self, factor: int) -> "UNetConfig":
+        """A tiny config for tests: divide all widths by `factor`."""
+        return dataclasses.replace(
+            self,
+            block_out_channels=tuple(max(32, c // factor) for c in self.block_out_channels),
+            num_attention_heads=tuple(max(1, h // factor) for h in self.num_attention_heads),
+            cross_attention_dim=max(32, self.cross_attention_dim // factor),
+            addition_time_embed_dim=max(8, self.addition_time_embed_dim // factor),
+            projection_class_embeddings_input_dim=3 * max(8, self.addition_time_embed_dim // factor),
+        )
+
+
+TINY_UNET = UNetConfig(
+    sample_size=8,
+    block_out_channels=(32, 64),
+    down_block_types=("CrossAttnDownBlockSpatioTemporal", "DownBlockSpatioTemporal"),
+    up_block_types=("UpBlockSpatioTemporal", "CrossAttnUpBlockSpatioTemporal"),
+    layers_per_block=1,
+    transformer_layers_per_block=(1, 1),
+    num_attention_heads=(2, 4),
+    cross_attention_dim=32,
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=24,
+    num_frames=2,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig(_JsonMixin):
+    """KL autoencoder with per-frame 2D encoder and temporal (Conv3d) decoder.
+
+    Behavior contract: reference drives diffusers AutoencoderKLTemporalDecoder
+    (train_svd.py:649-650, encode at :287, chunked temporal decode at :1135).
+    """
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    scaling_factor: float = 0.18215
+    norm_eps: float = 1e-6
+    # decoder: UpBlockTemporalDecoder resnet count = layers_per_block + 1
+    sample_size: int = 768
+
+    @property
+    def downsample_factor(self) -> int:
+        """Spatial pixels-per-latent (8 for the SVD VAE's 4 stages)."""
+        return 2 ** (len(self.block_out_channels) - 1)
+
+    def scaled(self, factor: int) -> "VAEConfig":
+        return dataclasses.replace(
+            self,
+            block_out_channels=tuple(max(32, c // factor) for c in self.block_out_channels),
+        )
+
+
+TINY_VAE = VAEConfig(block_out_channels=(32, 64), layers_per_block=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig(_JsonMixin):
+    """CLIP ViT vision tower with projection (CLIP-ViT-H/14 defaults).
+
+    Behavior contract: transformers CLIPVisionModelWithProjection as loaded at
+    reference train_svd.py:643-648 and used at :857-876 — 224x224 inputs,
+    projected pooled embedding of dim `projection_dim` (the single
+    cross-attention token).
+    """
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1280
+    num_layers: int = 32
+    num_heads: int = 16
+    intermediate_size: int = 5120
+    projection_dim: int = 1024
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "gelu"
+    image_mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
+    image_std: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
+
+
+TINY_CLIP = CLIPVisionConfig(
+    image_size=28, patch_size=14, hidden_size=32, num_layers=2, num_heads=2,
+    intermediate_size=64, projection_dim=32,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig(_JsonMixin):
+    """EulerDiscreteScheduler in EDM/Karras mode.
+
+    Behavior contract: the scheduler the SVD pipeline instantiates
+    (reference train_svd.py:49 import; driven at :1130-1140) — Karras sigma
+    schedule, sigma_max ~ 700, timestep = 0.25*log(sigma) ("continuous" /
+    trailing EDM convention).
+    """
+
+    num_train_timesteps: int = 1000
+    sigma_min: float = 0.002
+    sigma_max: float = 700.0
+    rho: float = 7.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig(_JsonMixin):
+    """Operating point of the img2vid pipeline (infer_svd.ipynb / validation)."""
+
+    height: int = 320
+    width: int = 512
+    num_frames: int = 14
+    num_inference_steps: int = 25
+    min_guidance_scale: float = 1.0
+    max_guidance_scale: float = 3.0
+    fps: int = 7
+    fps_offset: int = 1           # upstream pipeline embeds fps-1; training fed raw fps
+    motion_bucket_id: int = 127
+    noise_aug_strength: float = 0.02
+    decode_chunk_size: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig(_JsonMixin):
+    """Device-mesh layout. axis sizes of -1 mean "fill with what's left"."""
+
+    data: int = -1     # DP: batch sharding, ZeRO-1 optimizer-state sharding
+    model: int = 1     # TP: attention heads / MLP channels
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig(_JsonMixin):
+    """Training hyperparameters — the reference's flag surface
+    (train_svd.py:294-569) minus torch-isms, plus TPU-native knobs."""
+
+    # data
+    base_folder: str = ""
+    width: int = 512
+    height: int = 320
+    num_frames: int = 14
+    per_device_batch_size: int = 1
+    num_workers: int = 8
+    # optimization
+    learning_rate: float = 1e-4
+    scale_lr: bool = False
+    lr_scheduler: str = "constant"      # linear|cosine|cosine_with_restarts|polynomial|constant|constant_with_warmup
+    lr_warmup_steps: int = 500
+    max_train_steps: int = 50000
+    gradient_accumulation_steps: int = 1
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_weight_decay: float = 1e-2
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    # EDM
+    p_mean: float = 0.7
+    p_std: float = 1.6
+    cond_aug_loc: float = -3.0
+    cond_aug_std: float = 0.5
+    conditioning_dropout_prob: float = 0.1
+    # trainable scope: 'full' | 'temporal' | 'lora'
+    train_mode: str = "temporal"
+    lora_rank: int = 4
+    lora_alpha: int = 4
+    # EMA
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+    # precision
+    mixed_precision: str = "bf16"       # no|bf16
+    # checkpointing
+    output_dir: str = "./outputs"
+    checkpointing_steps: int = 500
+    checkpoints_total_limit: int = 2
+    resume_from_checkpoint: str = ""    # path or 'latest'
+    validation_steps: int = 500
+    num_validation_images: int = 1
+    # misc
+    seed: int = 123
+    report_to: str = "tensorboard"
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    # performance
+    remat_policy: str = "block"         # none|block|full
+    vae_encode_in_loop: bool = True     # False => latents precomputed by data pipeline
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        d = dict(d)
+        if isinstance(d.get("mesh"), dict):
+            d["mesh"] = MeshConfig.from_dict(d["mesh"])
+        return super(TrainConfig, cls).from_dict(d)

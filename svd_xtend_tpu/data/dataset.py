@@ -1,0 +1,135 @@
+"""Frame-folder video dataset with deterministic, shardable sampling.
+
+Behavior contract (reference DummyDataset, train_svd.py:70-136; layout
+README.md:30-39): base_folder/<video>/<frame.jpg>, random video, random
+contiguous window of `sample_frames`, PIL resize to (W, H), pixels scaled to
+[-1, 1], error if a video has fewer than `sample_frames` frames, virtual
+length `num_samples`.
+
+TPU-first improvements over the reference:
+  - sampling is a pure function of (seed, step, position): the iterator's
+    only state is the integer step, so checkpoint-resume is EXACT (the
+    reference's step-skip resume is statistical — SURVEY §3.5).
+  - per-host sharding: each host loads only its slice of the global batch
+    (process_index/process_count), replacing the accelerate DataLoader split.
+  - threaded JPEG decode + prefetch queue overlaps input with device compute.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+class FrameFolderDataset:
+    def __init__(self, base_folder: str, width: int = 512, height: int = 320,
+                 sample_frames: int = 14, num_samples: int = 100_000):
+        self.base_folder = base_folder
+        self.width, self.height = width, height
+        self.sample_frames = sample_frames
+        self.num_samples = num_samples
+        self.videos: List[Tuple[str, List[str]]] = []
+        for name in sorted(os.listdir(base_folder)):
+            folder = os.path.join(base_folder, name)
+            if not os.path.isdir(folder):
+                continue
+            frames = sorted(os.listdir(folder))
+            if len(frames) < sample_frames:
+                raise ValueError(
+                    f"video folder {name!r} has {len(frames)} < "
+                    f"{sample_frames} frames")
+            self.videos.append((folder, frames))
+        if not self.videos:
+            raise ValueError(f"no video folders under {base_folder!r}")
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def sample_spec(self, seed: int, step: int, position: int) -> Tuple[int, int]:
+        """(video_index, start_frame) — pure function of its arguments."""
+        rng = np.random.default_rng(np.random.SeedSequence([seed, step, position]))
+        vid = int(rng.integers(len(self.videos)))
+        n = len(self.videos[vid][1])
+        start = int(rng.integers(n - self.sample_frames + 1))
+        return vid, start
+
+    def load_window(self, vid: int, start: int) -> np.ndarray:
+        """(F, H, W, 3) float32 in [-1, 1]."""
+        folder, frames = self.videos[vid]
+        out = np.empty((self.sample_frames, self.height, self.width, 3), np.float32)
+        for i, fname in enumerate(frames[start:start + self.sample_frames]):
+            with Image.open(os.path.join(folder, fname)) as img:
+                img = img.convert("RGB").resize((self.width, self.height),
+                                                Image.Resampling.BICUBIC)
+                out[i] = np.asarray(img, np.float32) / 127.5 - 1.0
+        return out
+
+    def get(self, seed: int, step: int, position: int) -> np.ndarray:
+        return self.load_window(*self.sample_spec(seed, step, position))
+
+
+class ShardedLoader:
+    """Deterministic prefetching loader over a FrameFolderDataset.
+
+    Yields (B_local, F, H, W, 3) float32 batches; global batch position p of
+    step s maps to dataset.get(seed, s, p) with this host owning positions
+    [process_index * B_local, (process_index + 1) * B_local).
+    """
+
+    def __init__(self, dataset: FrameFolderDataset, local_batch_size: int,
+                 seed: int = 0, start_step: int = 0, num_workers: int = 8,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 2):
+        self.ds = dataset
+        self.local_bs = local_batch_size
+        self.seed = seed
+        self.step = start_step
+        self.offset = process_index * local_batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+
+    def _make_batch(self, step: int, pool: cf.ThreadPoolExecutor) -> np.ndarray:
+        futs = [pool.submit(self.ds.get, self.seed, step, self.offset + i)
+                for i in range(self.local_bs)]
+        return np.stack([f.result() for f in futs])
+
+    def _producer(self):
+        step = self.step
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            while not self._stop.is_set():
+                batch = self._make_batch(step, pool)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put((step, batch), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                step += 1
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        return self
+
+    def __next__(self) -> np.ndarray:
+        step, batch = self._q.get()
+        self.step = step + 1          # checkpointable iterator state
+        return batch
+
+    def state(self) -> dict:
+        return {"step": self.step, "seed": self.seed}
+
+    def close(self):
+        self._stop.set()

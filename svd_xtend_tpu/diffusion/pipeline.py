@@ -1,0 +1,212 @@
+"""StableVideoDiffusionPipeline — image-to-video inference, one jit.
+
+Behavior contract (SURVEY.md §3.4, reference train_svd.py:1130-1140 and
+infer_svd.ipynb cell 2): CLIP-encode the image (+ zero embedding for CFG),
+VAE-encode the noise-augmented image (+ zero latent for CFG), build
+added_time_ids = [fps - fps_offset, motion_bucket_id, noise_aug_strength]
+(the upstream pipeline embeds fps-1 while training feeds raw fps — both are
+exposed via PipelineConfig.fps_offset; see SURVEY.md §7 "fps convention trap"),
+init latents at sigma_max, Euler-denoise with a frame-linear guidance scale
+(linspace min->max over frames), decode in temporal chunks, return video.
+
+TPU-first design: the whole denoise loop is a ``lax.scan`` inside a single
+jit — no per-step host round-trips; CFG runs as a stacked batch of 2 so the
+UNet is invoked once per step; decode chunking is a ``lax.map`` over
+equal-size frame chunks (static shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import (CLIPVisionConfig, PipelineConfig, SchedulerConfig,
+                           UNetConfig, VAEConfig)
+from ..models.clip import CLIPVisionModelWithProjection, preprocess_for_clip
+from ..models.unet import UNetSpatioTemporalConditionModel
+from ..models.vae import AutoencoderKLTemporalDecoder, DiagonalGaussian
+from .scheduler import EulerDiscreteScheduler
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SVDModels:
+    """Static bundle of module definitions (hashable -> jit-static)."""
+
+    unet_config: UNetConfig = UNetConfig()
+    vae_config: VAEConfig = VAEConfig()
+    clip_config: CLIPVisionConfig = CLIPVisionConfig()
+    scheduler_config: SchedulerConfig = SchedulerConfig()
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    def unet(self, remat: bool = False) -> UNetSpatioTemporalConditionModel:
+        return UNetSpatioTemporalConditionModel(
+            self.unet_config, dtype=self.dtype, attn_impl=self.attn_impl, remat=remat)
+
+    def vae(self) -> AutoencoderKLTemporalDecoder:
+        return AutoencoderKLTemporalDecoder(self.vae_config, dtype=self.dtype)
+
+    def clip(self) -> CLIPVisionModelWithProjection:
+        return CLIPVisionModelWithProjection(self.clip_config, dtype=self.dtype)
+
+    def scheduler(self) -> EulerDiscreteScheduler:
+        return EulerDiscreteScheduler(self.scheduler_config)
+
+
+def init_pipeline_params(models: SVDModels, rng: Array,
+                         height: int = 64, width: int = 64) -> dict:
+    """Random-init parameter trees for all three models (for tests/bench;
+    real weights come from io.convert.load_diffusers_checkpoint)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    f = 2
+    unet_vars = models.unet().init(
+        k1,
+        jnp.zeros((1, f, height // models.vae_config.downsample_factor,
+                   width // models.vae_config.downsample_factor,
+                   models.unet_config.in_channels)),
+        jnp.zeros(()),
+        jnp.zeros((1, 1, models.unet_config.cross_attention_dim)),
+        jnp.zeros((1, 3)),
+    )
+    vae_vars = models.vae().init(
+        k2, jnp.zeros((1, 32, 32, 3)), jax.random.PRNGKey(0))
+    c = models.clip_config
+    clip_vars = models.clip().init(
+        k3, jnp.zeros((1, c.image_size, c.image_size, 3)))
+    return {"unet": unet_vars["params"], "vae": vae_vars["params"],
+            "clip": clip_vars["params"]}
+
+
+def encode_conditioning(
+    models: SVDModels,
+    params: dict,
+    image: Array,                 # (B, H, W, 3) in [-1, 1]
+    noise_aug_strength: Array,    # scalar or (B,)
+    rng: Array,
+    *,
+    sample_posterior: bool = False,
+):
+    """CLIP embedding + (noise-augmented, UNSCALED) first-frame VAE latent.
+
+    The conditioning latent is intentionally NOT multiplied by the VAE
+    scaling factor (reference divides it back out at train_svd.py:959-960;
+    the upstream pipeline likewise concatenates the unscaled latent).
+    """
+    clip_in = preprocess_for_clip(image, models.clip_config)
+    image_embeds = models.clip().apply(
+        {"params": params["clip"]}, clip_in)[:, None, :]   # (B, 1, D)
+
+    k_aug, k_sample = jax.random.split(rng)
+    aug = jnp.asarray(noise_aug_strength, jnp.float32).reshape(-1, 1, 1, 1)
+    noisy_image = image + aug * jax.random.normal(k_aug, image.shape, jnp.float32)
+    vae = models.vae()
+    posterior = vae.apply({"params": params["vae"]}, noisy_image.astype(models.dtype),
+                          method=vae.encode)
+    cond_latent = posterior.sample(k_sample) if sample_posterior else posterior.mode()
+    return image_embeds, cond_latent.astype(jnp.float32)
+
+
+def get_add_time_ids(fps: float, motion_bucket_id: float, noise_aug_strength: Array,
+                     batch: int) -> Array:
+    """[fps, motion_bucket_id, noise_aug] per sample
+    (reference _get_add_time_ids, train_svd.py:878-898)."""
+    aug = jnp.broadcast_to(jnp.asarray(noise_aug_strength, jnp.float32).reshape(-1), (batch,))
+    return jnp.stack([
+        jnp.full((batch,), fps, jnp.float32),
+        jnp.full((batch,), motion_bucket_id, jnp.float32),
+        aug,
+    ], axis=1)
+
+
+def decode_latents_chunked(models: SVDModels, params: dict, latents: Array,
+                           decode_chunk_size: int) -> Array:
+    """(B, F, h, w, 4) scaled latents -> (B, F, H, W, 3) pixels in [-1, 1].
+
+    Chunked over frames like the reference's decode_chunk_size=8
+    (train_svd.py:1135); chunks are equal-size (F padded up) so the scan body
+    has one static shape.
+    """
+    b, f, h, w, c = latents.shape
+    z = latents / models.vae_config.scaling_factor
+    chunk = min(decode_chunk_size, f)
+    pad = (-f) % chunk
+    z = jnp.pad(z, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+    n_chunks = (f + pad) // chunk
+    z = z.reshape(b, n_chunks, chunk, h, w, c).transpose(1, 0, 2, 3, 4, 5)
+
+    vae = models.vae()
+    decode_one = lambda zc: vae.apply({"params": params["vae"]},
+                                      zc.astype(models.dtype), method=vae.decode)
+    frames = jax.lax.map(decode_one, z)                     # (n, B, chunk, H, W, 3)
+    ds = models.vae_config.downsample_factor
+    frames = frames.transpose(1, 0, 2, 3, 4, 5).reshape(b, f + pad, ds * h, ds * w, -1)
+    return frames[:, :f].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("models", "config"))
+def generate(
+    models: SVDModels,
+    params: dict,
+    image: Array,                  # (B, H, W, 3) in [-1, 1]
+    rng: Array,
+    config: PipelineConfig = PipelineConfig(),
+) -> Array:
+    """img2vid: returns (B, F, H, W, 3) pixels in [-1, 1]."""
+    cfg = config
+    b = image.shape[0]
+    f = cfg.num_frames
+    ds = models.vae_config.downsample_factor
+    h8, w8 = cfg.height // ds, cfg.width // ds
+    lat_c = models.vae_config.latent_channels
+    k_cond, k_init = jax.random.split(rng)
+
+    # --- conditioning (+ zeroed uncond half for CFG) ---
+    image_embeds, cond_latent = encode_conditioning(
+        models, params, image, cfg.noise_aug_strength, k_cond)
+    add_ids = get_add_time_ids(cfg.fps - cfg.fps_offset, cfg.motion_bucket_id,
+                               cfg.noise_aug_strength, b)
+    # stacked CFG batch: [uncond, cond]
+    ehs = jnp.concatenate([jnp.zeros_like(image_embeds), image_embeds], axis=0)
+    cond_lat2 = jnp.concatenate([jnp.zeros_like(cond_latent), cond_latent], axis=0)
+    cond_lat2 = jnp.broadcast_to(cond_lat2[:, None], (2 * b, f, h8, w8, lat_c))
+    add_ids2 = jnp.concatenate([add_ids, add_ids], axis=0)
+
+    scheduler = models.scheduler()
+    sigmas = scheduler.sigmas(cfg.num_inference_steps)
+    latents = jax.random.normal(k_init, (b, f, h8, w8, lat_c),
+                                jnp.float32) * scheduler.init_noise_sigma()
+
+    guidance = jnp.linspace(cfg.min_guidance_scale, cfg.max_guidance_scale, f,
+                            dtype=jnp.float32).reshape(1, f, 1, 1, 1)
+    unet = models.unet()
+
+    def step(latents, sig_pair):
+        sigma, sigma_next = sig_pair
+        x_in = jnp.concatenate([latents, latents], axis=0)
+        x_in = scheduler.scale_model_input(x_in, sigma)
+        x_in = jnp.concatenate([x_in, cond_lat2], axis=-1)   # 8-channel input
+        t = jnp.broadcast_to(scheduler.timestep(sigma), (2 * b,))
+        out = unet.apply({"params": params["unet"]}, x_in.astype(models.dtype),
+                         t, ehs, add_ids2).astype(jnp.float32)
+        uncond, cond = jnp.split(out, 2, axis=0)
+        model_out = uncond + guidance * (cond - uncond)
+        denoised = scheduler.denoised(model_out, latents, sigma)
+        return scheduler.step(latents, denoised, sigma, sigma_next), None
+
+    latents, _ = jax.lax.scan(step, latents, (sigmas[:-1], sigmas[1:]))
+    video = decode_latents_chunked(models, params, latents, cfg.decode_chunk_size)
+    return jnp.clip(video, -1.0, 1.0)
+
+
+def generate_frames_uint8(models: SVDModels, params: dict, image: Array, rng: Array,
+                          config: PipelineConfig = PipelineConfig()):
+    """Host-side helper: uint8 numpy frames for export (io.media)."""
+    import numpy as np
+    video = np.asarray(generate(models, params, image, rng, config))
+    return list((((video[0] + 1.0) / 2.0).clip(0, 1) * 255).astype(np.uint8))

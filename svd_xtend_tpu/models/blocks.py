@@ -1,0 +1,195 @@
+"""ResNet / sampling blocks for the spatio-temporal UNet and VAE.
+
+Behavior contracts (SURVEY.md §2.2):
+  - SpatioTemporalResBlock: spatial ResNet2D on folded frames, then a temporal
+    ResNet whose convs run over the frame axis with (3,1,1) kernels, blended by
+    a learnable AlphaBlender (reference drives diffusers unet_3d_blocks.py;
+    wiring visible at src/unet_spatio_temporal_condition.py:432-477).
+  - image_only_indicator (zeros at src/unet_spatio_temporal_condition.py:430)
+    selects the spatial-only path for image batches.
+
+TPU-first design: channels-last everywhere. Spatial convs act on
+(B*F, H, W, C); temporal convs act on (B, F, H*W, C) with a (3, 1) kernel —
+the frame axis is a genuine convolution dimension and H*W collapses to one
+spatial dim, which keeps the channel contraction on the MXU with no layout
+churn (vs. the reference's NCDHW Conv3d).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class AlphaBlender(nn.Module):
+    """Learnable scalar blend: a*spatial + (1-a)*temporal, a = sigmoid(mix).
+
+    With `switch_spatial_to_temporal_mix` the sigmoid weights the temporal
+    branch instead (the convention of the transformer time mixer).
+    `image_only_indicator` (B, F) bool/0-1 forces the spatial path per frame.
+    """
+
+    merge_factor: float = 0.5
+    switch_spatial_to_temporal_mix: bool = False
+
+    @nn.compact
+    def __call__(self, x_spatial: Array, x_temporal: Array,
+                 image_only_indicator: Optional[Array] = None) -> Array:
+        mix = self.param("mix_factor", lambda k: jnp.full((1,), self.merge_factor, jnp.float32))
+        alpha = jax.nn.sigmoid(mix.astype(jnp.float32))[0]
+        if self.switch_spatial_to_temporal_mix:
+            alpha = 1.0 - alpha
+        if image_only_indicator is not None:
+            # (B, F) -> broadcastable against x, whether x is (B*F, ...) or (B, F, ...)
+            ind = image_only_indicator.astype(bool)
+            if x_spatial.shape[0] == ind.shape[0] * ind.shape[1]:
+                ind = ind.reshape((-1,) + (1,) * (x_spatial.ndim - 1))
+            else:
+                ind = ind.reshape(ind.shape + (1,) * (x_spatial.ndim - 2))
+            alpha = jnp.where(ind, 1.0, alpha)
+        alpha = jnp.asarray(alpha, x_spatial.dtype)
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> SiLU -> conv3x3, add t-emb, GN -> SiLU -> conv3x3, skip.
+
+    Operates on (N, H, W, C)."""
+
+    out_channels: int
+    eps: float = 1e-5
+    groups: int = 32
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        in_ch = x.shape[-1]
+        conv = lambda name: nn.Conv(self.out_channels, (3, 3), padding=1,
+                                    dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = conv("conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(h)
+        h = nn.silu(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv("conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class TemporalResnetBlock(nn.Module):
+    """ResNet over the frame axis: convs with (3, 1) kernels on (B, F, S, C).
+
+    Input/output: (B, F, H, W, C); internally H,W collapse to S = H*W since
+    the kernel is 1x1 spatially — the conv is then a single well-tiled
+    (3,1)-window channel contraction on the MXU.
+    """
+
+    out_channels: int
+    eps: float = 1e-6
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
+        b, f, hh, ww, c = x.shape
+        xs = x.reshape(b, f, hh * ww, c)
+        conv = lambda name: nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
+                                    dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(xs)
+        h = nn.silu(h)
+        h = conv("conv1")(h)
+        if temb is not None:
+            # temb: (B, F, C_t) per-frame embedding
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, :, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = conv("conv2")(h)
+        if c != self.out_channels:
+            xs = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="conv_shortcut")(xs)
+        return (xs + h).reshape(b, f, hh, ww, self.out_channels)
+
+
+class SpatioTemporalResBlock(nn.Module):
+    """Spatial ResNet on folded frames + temporal ResNet, alpha-blended.
+
+    Input/output: (B*F, H, W, C) with `num_frames` static."""
+
+    out_channels: int
+    num_frames: int
+    eps: float = 1e-5
+    temporal_eps: Optional[float] = None
+    merge_factor: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None,
+                 image_only_indicator: Optional[Array] = None) -> Array:
+        f = self.num_frames
+        h = ResnetBlock2D(self.out_channels, eps=self.eps, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="spatial_res_block")(x, temb)
+        bf, hh, ww, c = h.shape
+        b = bf // f
+        h_spatial = h.reshape(b, f, hh, ww, c)
+        temb_frames = temb.reshape(b, f, -1) if temb is not None else None
+        h_temporal = TemporalResnetBlock(
+            self.out_channels, eps=self.temporal_eps or self.eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="temporal_res_block",
+        )(h_spatial, temb_frames)
+        out = AlphaBlender(merge_factor=self.merge_factor, name="time_mixer")(
+            h_spatial, h_temporal, image_only_indicator)
+        return out.reshape(bf, hh, ww, c)
+
+
+class Downsample2D(nn.Module):
+    """3x3 stride-2 conv (N, H, W, C) -> (N, H/2, W/2, C_out)."""
+
+    out_channels: int
+    asymmetric_padding: bool = False   # VAE encoder pads (0,1),(0,1)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        pad = ((0, 1), (0, 1)) if self.asymmetric_padding else ((1, 1), (1, 1))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+                       dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x upsample + 3x3 conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="conv")(x)

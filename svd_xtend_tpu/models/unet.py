@@ -1,0 +1,273 @@
+"""UNetSpatioTemporalConditionModel — the SVD denoiser, TPU-native.
+
+Behavior contract (reference src/unet_spatio_temporal_condition.py:357-490 and
+SURVEY.md §2.3): inputs sample (b, f, 8, h, w) [here (b, f, h, w, 8) —
+channels-last], scalar-or-vector timestep, encoder_hidden_states (b, 1, 1024),
+added_time_ids (b, 3); timestep + micro-conditioning sinusoid MLPs; frames
+folded into batch for the spatial path; 4 down blocks with residual skips
+consumed by 4 mirrored up blocks; GN+SiLU+conv head; output (b, f, h, w, 4).
+
+TPU-first: bf16 compute with fp32 params, channels-last convs, optional
+per-block rematerialization (jax.checkpoint) to trade FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.config import UNetConfig
+from .blocks import Downsample2D, SpatioTemporalResBlock, Upsample2D
+from .embeddings import TimestepEmbedding, sinusoidal_embedding
+from .transformer import TransformerSpatioTemporalModel
+
+Array = jax.Array
+
+
+class DownBlockSpatioTemporal(nn.Module):
+    out_channels: int
+    num_layers: int
+    num_frames: int
+    add_downsample: bool = True
+    resnet_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array, indicator: Optional[Array]):
+        residuals = []
+        for i in range(self.num_layers):
+            x = SpatioTemporalResBlock(
+                self.out_channels, self.num_frames, eps=self.resnet_eps,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"resnets_{i}",
+            )(x, temb, indicator)
+            residuals.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="downsamplers_0")(x)
+            residuals.append(x)
+        return x, tuple(residuals)
+
+
+class CrossAttnDownBlockSpatioTemporal(nn.Module):
+    out_channels: int
+    num_layers: int
+    num_frames: int
+    num_heads: int
+    transformer_layers: int = 1
+    add_downsample: bool = True
+    resnet_eps: float = 1e-5
+    attn_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array, ehs: Array, indicator: Optional[Array]):
+        residuals = []
+        head_dim = self.out_channels // self.num_heads
+        for i in range(self.num_layers):
+            x = SpatioTemporalResBlock(
+                self.out_channels, self.num_frames, eps=self.resnet_eps,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"resnets_{i}",
+            )(x, temb, indicator)
+            x = TransformerSpatioTemporalModel(
+                self.num_heads, head_dim, num_layers=self.transformer_layers,
+                num_frames=self.num_frames, attn_impl=self.attn_impl,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
+            )(x, ehs, indicator)
+            residuals.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="downsamplers_0")(x)
+            residuals.append(x)
+        return x, tuple(residuals)
+
+
+class UNetMidBlockSpatioTemporal(nn.Module):
+    channels: int
+    num_frames: int
+    num_heads: int
+    transformer_layers: int = 1
+    num_layers: int = 1
+    resnet_eps: float = 1e-5
+    attn_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Array, ehs: Array, indicator: Optional[Array]):
+        head_dim = self.channels // self.num_heads
+        res = lambda i: SpatioTemporalResBlock(
+            self.channels, self.num_frames, eps=self.resnet_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=f"resnets_{i}")
+        x = res(0)(x, temb, indicator)
+        for i in range(self.num_layers):
+            x = TransformerSpatioTemporalModel(
+                self.num_heads, head_dim, num_layers=self.transformer_layers,
+                num_frames=self.num_frames, attn_impl=self.attn_impl,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
+            )(x, ehs, indicator)
+            x = res(i + 1)(x, temb, indicator)
+        return x
+
+
+class UpBlockSpatioTemporal(nn.Module):
+    out_channels: int
+    num_layers: int
+    num_frames: int
+    add_upsample: bool = True
+    resnet_eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, skips: Tuple[Array, ...], temb: Array,
+                 indicator: Optional[Array]):
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
+            x = SpatioTemporalResBlock(
+                self.out_channels, self.num_frames, eps=self.resnet_eps,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"resnets_{i}",
+            )(x, temb, indicator)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="upsamplers_0")(x)
+        return x
+
+
+class CrossAttnUpBlockSpatioTemporal(nn.Module):
+    out_channels: int
+    num_layers: int
+    num_frames: int
+    num_heads: int
+    transformer_layers: int = 1
+    add_upsample: bool = True
+    resnet_eps: float = 1e-5
+    attn_impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, skips: Tuple[Array, ...], temb: Array, ehs: Array,
+                 indicator: Optional[Array]):
+        head_dim = self.out_channels // self.num_heads
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
+            x = SpatioTemporalResBlock(
+                self.out_channels, self.num_frames, eps=self.resnet_eps,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"resnets_{i}",
+            )(x, temb, indicator)
+            x = TransformerSpatioTemporalModel(
+                self.num_heads, head_dim, num_layers=self.transformer_layers,
+                num_frames=self.num_frames, attn_impl=self.attn_impl,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
+            )(x, ehs, indicator)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="upsamplers_0")(x)
+        return x
+
+
+class UNetSpatioTemporalConditionModel(nn.Module):
+    """The SVD UNet. `config` fields are static; see core/config.py."""
+
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, sample: Array, timestep: Array, encoder_hidden_states: Array,
+                 added_time_ids: Array) -> Array:
+        cfg = self.config
+        b, f, h, w, _ = sample.shape
+        t_dim = cfg.time_embed_dim
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        # ---- time + micro-conditioning embeddings (fp32 sinusoids) ----
+        timestep = jnp.broadcast_to(jnp.asarray(timestep, jnp.float32).reshape(-1), (b,))
+        t_emb = sinusoidal_embedding(timestep, cfg.block_out_channels[0])
+        emb = TimestepEmbedding(t_dim, name="time_embedding", **common)(
+            t_emb.astype(self.dtype))
+        add_sin = sinusoidal_embedding(
+            added_time_ids.reshape(-1).astype(jnp.float32), cfg.addition_time_embed_dim)
+        add_sin = add_sin.reshape(b, cfg.projection_class_embeddings_input_dim)
+        emb = emb + TimestepEmbedding(t_dim, name="add_embedding", **common)(
+            add_sin.astype(self.dtype))
+
+        # ---- fold frames into batch ----
+        x = sample.astype(self.dtype).reshape(b * f, h, w, sample.shape[-1])
+        emb_f = jnp.repeat(emb, f, axis=0)
+        ehs_f = jnp.repeat(encoder_hidden_states.astype(self.dtype), f, axis=0)
+        indicator = jnp.zeros((b, f), jnp.float32)
+
+        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    name="conv_in", **common)(x)
+        residuals = [x]
+
+        maybe_remat = (lambda cls: nn.remat(cls, static_argnums=())) if self.remat \
+            else (lambda cls: cls)
+
+        # ---- down ----
+        for i, block_type in enumerate(cfg.down_block_types):
+            is_final = i == len(cfg.down_block_types) - 1
+            if block_type == "CrossAttnDownBlockSpatioTemporal":
+                x, res = maybe_remat(CrossAttnDownBlockSpatioTemporal)(
+                    cfg.block_out_channels[i], cfg.layers_per_block, f,
+                    cfg.num_attention_heads[i],
+                    transformer_layers=cfg.transformer_layers_per_block[i],
+                    add_downsample=not is_final, resnet_eps=cfg.resnet_eps,
+                    attn_impl=self.attn_impl, name=f"down_blocks_{i}", **common,
+                )(x, emb_f, ehs_f, indicator)
+            elif block_type == "DownBlockSpatioTemporal":
+                x, res = maybe_remat(DownBlockSpatioTemporal)(
+                    cfg.block_out_channels[i], cfg.layers_per_block, f,
+                    add_downsample=not is_final, resnet_eps=cfg.resnet_eps,
+                    name=f"down_blocks_{i}", **common,
+                )(x, emb_f, indicator)
+            else:
+                raise ValueError(f"unknown down block {block_type!r}")
+            residuals.extend(res)
+
+        # ---- mid ----
+        x = maybe_remat(UNetMidBlockSpatioTemporal)(
+            cfg.block_out_channels[-1], f, cfg.num_attention_heads[-1],
+            transformer_layers=cfg.transformer_layers_per_block[-1],
+            resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
+            name="mid_block", **common,
+        )(x, emb_f, ehs_f, indicator)
+
+        # ---- up ----
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(cfg.num_attention_heads))
+        rev_tlayers = list(reversed(cfg.transformer_layers_per_block))
+        n_res_up = cfg.layers_per_block + 1
+        for i, block_type in enumerate(cfg.up_block_types):
+            is_final = i == len(cfg.up_block_types) - 1
+            skips = tuple(residuals[-n_res_up:])
+            residuals = residuals[:-n_res_up]
+            if block_type == "CrossAttnUpBlockSpatioTemporal":
+                x = maybe_remat(CrossAttnUpBlockSpatioTemporal)(
+                    rev_channels[i], n_res_up, f, rev_heads[i],
+                    transformer_layers=rev_tlayers[i], add_upsample=not is_final,
+                    resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
+                    name=f"up_blocks_{i}", **common,
+                )(x, skips, emb_f, ehs_f, indicator)
+            elif block_type == "UpBlockSpatioTemporal":
+                x = maybe_remat(UpBlockSpatioTemporal)(
+                    rev_channels[i], n_res_up, f, add_upsample=not is_final,
+                    resnet_eps=cfg.resnet_eps, name=f"up_blocks_{i}", **common,
+                )(x, skips, emb_f, indicator)
+            else:
+                raise ValueError(f"unknown up block {block_type!r}")
+
+        # ---- head ----
+        x = nn.GroupNorm(num_groups=32, epsilon=cfg.resnet_eps, name="conv_norm_out",
+                         **common)(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(x)
+        return x.reshape(b, f, h, w, cfg.out_channels)

@@ -1,0 +1,83 @@
+"""Multi-head scaled-dot-product attention with pluggable implementations.
+
+The reference relies on torch SDPA / xformers (train_svd.py:681-693).
+TPU-natively we expose one functional op with three interchangeable backends:
+
+  - "xla":   plain einsum attention — XLA fuses it well for short sequences
+             (the temporal f<=25-token attention) and is the correctness oracle.
+  - "flash": Pallas online-softmax flash attention (ops/pallas/flash_attention.py)
+             for the spatial h*w-token attention (up to 4608 tokens at 576x1024).
+  - "auto":  flash on TPU when the sequence is long enough to benefit and
+             shapes are tile-aligned, else xla.
+
+Shapes follow the TPU-friendly BSHD convention:
+  q: (B, S, H, D), k/v: (B, T, H, D) -> out (B, S, H, D)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
+    # fp32 softmax accumulation regardless of input dtype
+    logits = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhst,bthd->bshd", weights, v)
+
+
+def _flash_ok(q: Array, k: Array) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    s, t, d = q.shape[1], k.shape[1], q.shape[3]
+    # flash pays off for long sequences; needs lane-aligned head_dim
+    return s >= 512 and t >= 512 and d % 128 == 0
+
+
+def dot_product_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> Array:
+    """softmax(q k^T * scale) v over the T axis, heads batched."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = "flash" if _flash_ok(q, k) else "xla"
+    if impl == "flash":
+        from .pallas.flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale)
+    if impl == "xla":
+        return _xla_attention(q, k, v, scale)
+    raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def split_heads(x: Array, num_heads: int) -> Array:
+    """(B, S, H*D) -> (B, S, H, D)."""
+    b, s, hd = x.shape
+    return x.reshape(b, s, num_heads, hd // num_heads)
+
+
+def merge_heads(x: Array) -> Array:
+    """(B, S, H, D) -> (B, S, H*D)."""
+    b, s, h, d = x.shape
+    return x.reshape(b, s, h * d)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "impl"))
+def mha(q: Array, k: Array, v: Array, num_heads: int, impl: str = "auto") -> Array:
+    """Convenience: (B, S, C) projected inputs -> attention -> (B, S, C)."""
+    out = dot_product_attention(
+        split_heads(q, num_heads), split_heads(k, num_heads),
+        split_heads(v, num_heads), impl=impl)
+    return merge_heads(out)

@@ -1,0 +1,195 @@
+"""Train state, trainable-scope partitioning, EMA, and the jitted train step.
+
+Behavior contracts:
+  - trainable scopes: 'full' (every UNet param — README.md:41 claim),
+    'temporal' (params whose path contains 'temporal_transformer_block', the
+    code-as-shipped default, train_svd.py:758-766), 'lora' (adapter tree only,
+    train_svd_lora.py:744-751).
+  - EMA with (1+step)/(10+step) decay warmup clamped at max decay
+    (diffusers EMAModel contract; stepped after each optim step,
+    train_svd.py:1053-1054).
+  - gradient accumulation: micro-batches reduced in-graph
+    (reference: accelerate accumulate contexts, train_svd.py:941).
+
+TPU-first design: one pure ``train_step(state, batch, rng) -> (state, metrics)``
+jitted over the mesh with donated state. Frozen params (VAE/CLIP and, for
+temporal/lora scopes, the non-trainable UNet leaves) live OUTSIDE the
+differentiated tree, so AD never materializes their cotangents — the
+temporal-only scope backprops through but allocates gradients only for the
+~blend of temporal params (vs. the reference which zeroes requires_grad but
+still runs DDP over the full module).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..core.config import TrainConfig
+from ..diffusion.pipeline import SVDModels
+from ..diffusion.training import training_loss
+from ..models import lora as lora_lib
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------- masks ----
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def trainable_mask(params: Any, mode: str) -> Any:
+    """Bool pytree marking trainable leaves ('full' or 'temporal' scope)."""
+    if mode == "full":
+        return jax.tree.map(lambda _: True, params)
+    if mode == "temporal":
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: "temporal_transformer_block" in _path_str(p), params)
+    raise ValueError(f"trainable_mask undefined for mode {mode!r}")
+
+
+def partition(params: Any, mask: Any) -> Tuple[Any, Any]:
+    """Split params into (trainable, frozen) trees; leaves are None on the
+    other side (optax-style partition that jax.grad skips entirely)."""
+    train = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return train, frozen
+
+
+def combine(train: Any, frozen: Any) -> Any:
+    return jax.tree.map(lambda t, f: t if f is None else f, train, frozen,
+                        is_leaf=lambda x: x is None)
+
+
+def param_audit(params: Any, mask: Any) -> Tuple[list, list]:
+    """(frozen_names, trainable_names) — the reference's params_freeze.txt /
+    params_train.txt dump (train_svd.py:776-785)."""
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    frozen, trainable = [], []
+    for path, m in flat:
+        (trainable if m else frozen).append(_path_str(path))
+    return frozen, trainable
+
+
+# ------------------------------------------------------------------ EMA ----
+
+def ema_decay_schedule(step: Array, max_decay: float = 0.9999) -> Array:
+    return jnp.minimum(max_decay, (1.0 + step) / (10.0 + step))
+
+
+def ema_update(ema_params: Any, new_params: Any, step: Array,
+               max_decay: float = 0.9999) -> Any:
+    d = ema_decay_schedule(step.astype(jnp.float32), max_decay)
+    return jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                        ema_params, new_params)
+
+
+# ---------------------------------------------------------------- state ----
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any                        # trainable tree (unet subtree or lora tree)
+    opt_state: Any
+    ema_params: Optional[Any] = None   # full-FT only (reference: --use_ema)
+
+    frozen_unet: Any = None            # non-trainable unet leaves (None for full)
+    base_unet: Any = None              # full base tree (lora mode only)
+
+
+def unet_params_of(state: TrainState, cfg: TrainConfig) -> Any:
+    """Materialize the effective full UNet param tree from a state."""
+    if cfg.train_mode == "lora":
+        return lora_lib.merge(state.base_unet, state.params,
+                              rank=cfg.lora_rank, alpha=cfg.lora_alpha)
+    if cfg.train_mode == "temporal":
+        return combine(state.params, state.frozen_unet)
+    return state.params
+
+
+def create_train_state(cfg: TrainConfig, unet_params: Any,
+                       optimizer: optax.GradientTransformation,
+                       lora_rng: Optional[Array] = None) -> TrainState:
+    if cfg.train_mode == "lora":
+        if lora_rng is None:
+            lora_rng = jax.random.PRNGKey(0)
+        lora_params = lora_lib.init(lora_rng, unet_params,
+                                    rank=cfg.lora_rank, alpha=cfg.lora_alpha)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=lora_params,
+                          opt_state=optimizer.init(lora_params),
+                          base_unet=unet_params)
+    if cfg.train_mode == "temporal":
+        train, frozen = partition(unet_params, trainable_mask(unet_params, "temporal"))
+        return TrainState(step=jnp.zeros((), jnp.int32), params=train,
+                          opt_state=optimizer.init(train), frozen_unet=frozen)
+    if cfg.train_mode == "full":
+        ema = jax.tree.map(lambda x: x, unet_params) if cfg.use_ema else None
+        return TrainState(step=jnp.zeros((), jnp.int32), params=unet_params,
+                          opt_state=optimizer.init(unet_params), ema_params=ema)
+    raise ValueError(f"unknown train_mode {cfg.train_mode!r}")
+
+
+# ------------------------------------------------------------ train step ----
+
+def make_train_step(models: SVDModels, cfg: TrainConfig,
+                    optimizer: optax.GradientTransformation,
+                    frozen_params: dict) -> Callable:
+    """Build the pure train step. `batch` is (accum, B, F, H, W, 3) pixels
+    when gradient_accumulation_steps > 1, else (B, F, H, W, 3).
+
+    frozen_params: {"vae": ..., "clip": ...} — closed over (replicated or
+    sharded by the caller's jit in_shardings).
+    """
+    accum = cfg.gradient_accumulation_steps
+
+    def unet_tree(trainable, state: TrainState):
+        if cfg.train_mode == "lora":
+            return lora_lib.merge(state.base_unet, trainable,
+                                  rank=cfg.lora_rank, alpha=cfg.lora_alpha)
+        if cfg.train_mode == "temporal":
+            return combine(trainable, state.frozen_unet)
+        return trainable
+
+    def micro_loss(trainable, state, pixels, rng):
+        unet_p = unet_tree(trainable, state)
+        return training_loss(models, unet_p, frozen_params, pixels, rng, cfg)
+
+    grad_fn = jax.value_and_grad(micro_loss)
+
+    def train_step(state: TrainState, batch: Array, rng: Array):
+        rng = jax.random.fold_in(rng, state.step)
+        if accum > 1:
+            def body(carry, xs):
+                loss_sum, grads_sum = carry
+                pixels, key = xs
+                loss, grads = grad_fn(state.params, state, pixels, key)
+                return (loss_sum + loss,
+                        jax.tree.map(jnp.add, grads_sum, grads)), None
+            keys = jax.random.split(rng, accum)
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(body, (0.0, zero), (batch, keys))
+            loss = loss / accum
+            grads = jax.tree.map(lambda g: g / accum, grads)
+        else:
+            loss, grads = grad_fn(state.params, state, batch, rng)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, params, step, cfg.ema_decay)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "lr": jnp.asarray(0.0),  # filled by caller from schedule if needed
+        }
+        return state.replace(step=step, params=params, opt_state=opt_state,
+                             ema_params=ema), metrics
+
+    return train_step

@@ -1,0 +1,24 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+This is the TPU-world "fake backend" (SURVEY.md §4): sharding/collective logic
+is validated on host CPU devices; numerical kernels compare against fp32
+references. The axon sitecustomize pins JAX_PLATFORMS=axon (remote TPU
+tunnel), so we must both set the env var before the first jax import AND
+override via jax.config afterwards — otherwise every test op round-trips
+through the tunnel.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + str(jax.devices()))

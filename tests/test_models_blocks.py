@@ -1,0 +1,148 @@
+"""Unit tests for embeddings, blocks, and transformer modules (tiny shapes)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svd_xtend_tpu.models.blocks import (AlphaBlender, Downsample2D, ResnetBlock2D,
+                                         SpatioTemporalResBlock, TemporalResnetBlock,
+                                         Upsample2D)
+from svd_xtend_tpu.models.embeddings import TimestepEmbedding, sinusoidal_embedding
+from svd_xtend_tpu.models.transformer import (BasicTransformerBlock,
+                                              TemporalBasicTransformerBlock,
+                                              TransformerSpatioTemporalModel)
+
+
+def test_sinusoidal_embedding_contract():
+    """diffusers Timesteps(flip_sin_to_cos=True, downscale_freq_shift=0)."""
+    t = jnp.array([0.0, 1.0, 500.0])
+    dim = 16
+    emb = sinusoidal_embedding(t, dim)
+    half = dim // 2
+    exponent = -np.log(10000.0) * np.arange(half) / half
+    freqs = np.exp(exponent)
+    args = np.asarray(t)[:, None] * freqs[None, :]
+    expected = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
+    np.testing.assert_allclose(emb, expected, atol=1e-4)
+    # t=0: cos=1, sin=0
+    np.testing.assert_allclose(emb[0, :half], 1.0, atol=1e-6)
+    np.testing.assert_allclose(emb[0, half:], 0.0, atol=1e-6)
+
+
+def test_timestep_embedding_shapes():
+    m = TimestepEmbedding(32)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)))
+    out = m.apply(params, jnp.ones((2, 8)))
+    assert out.shape == (2, 32)
+
+
+def test_alpha_blender():
+    m = AlphaBlender(merge_factor=0.5)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)), jnp.zeros((2, 3)))
+    a = jax.nn.sigmoid(0.5)
+    s, t = jnp.ones((2, 3)), jnp.zeros((2, 3))
+    np.testing.assert_allclose(m.apply(params, s, t), float(a) * np.ones((2, 3)),
+                               rtol=1e-6)
+    # switch flips the roles
+    m2 = AlphaBlender(merge_factor=0.5, switch_spatial_to_temporal_mix=True)
+    p2 = m2.init(jax.random.PRNGKey(0), s, t)
+    np.testing.assert_allclose(m2.apply(p2, s, t), float(1 - a) * np.ones((2, 3)),
+                               rtol=1e-6)
+
+
+def test_alpha_blender_image_only_indicator():
+    """indicator==1 forces the spatial branch for (B*F, ...) inputs."""
+    m = AlphaBlender(merge_factor=0.5)
+    b, f = 2, 3
+    s = jnp.ones((b * f, 4, 5))
+    t = jnp.zeros((b * f, 4, 5))
+    ind = jnp.zeros((b, f)).at[0, 1].set(1.0)
+    params = m.init(jax.random.PRNGKey(0), s, t, ind)
+    out = np.asarray(m.apply(params, s, t, ind))
+    np.testing.assert_allclose(out[1], 1.0, rtol=1e-6)      # (b=0, f=1) row
+    a = float(jax.nn.sigmoid(0.5))
+    np.testing.assert_allclose(out[0], a, rtol=1e-6)
+
+
+def test_resnet_block_2d():
+    m = ResnetBlock2D(out_channels=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (2, 128))
+    params = m.init(jax.random.PRNGKey(2), x, temb)
+    out = m.apply(params, x, temb)
+    assert out.shape == (2, 8, 8, 64)
+    assert "conv_shortcut" in params["params"]
+
+
+def test_temporal_resnet_block():
+    m = TemporalResnetBlock(out_channels=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 6, 6, 32))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 64))
+    params = m.init(jax.random.PRNGKey(2), x, temb)
+    out = m.apply(params, x, temb)
+    assert out.shape == x.shape
+
+
+def test_temporal_conv_is_temporal():
+    """The (3,1)-kernel frame-axis conv (our layout for the reference's
+    (3,1,1) Conv3d) must mix across frames but not across spatial positions.
+
+    (The full TemporalResnetBlock additionally couples positions through
+    GroupNorm statistics — as the torch original does — so locality is
+    asserted on the conv itself.)"""
+    conv = nn.Conv(8, (3, 1), padding=((1, 1), (0, 0)))
+    x = jnp.zeros((1, 4, 36, 8))                    # (B, F, S=H*W, C)
+    params = conv.init(jax.random.PRNGKey(0), x)
+    x = x.at[0, 1, 15, :].set(1.0)                  # impulse frame 1, position 15
+    delta = np.abs(np.asarray(conv.apply(params, x))
+                   - np.asarray(conv.apply(params, jnp.zeros_like(x)))).sum(-1)[0]
+    assert delta[1, 15] > 0
+    assert delta[0, 15] > 0 and delta[2, 15] > 0    # time neighbors see it
+    assert delta[1, 14] == 0 and delta[1, 16] == 0  # spatial neighbors don't
+    assert delta[3, 15] == 0                         # 2 frames away (k=3) don't
+
+
+def test_spatio_temporal_res_block():
+    f = 3
+    m = SpatioTemporalResBlock(out_channels=32, num_frames=f)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2 * f, 8, 8, 32))
+    temb = jax.random.normal(jax.random.PRNGKey(1), (2 * f, 64))
+    params = m.init(jax.random.PRNGKey(2), x, temb)
+    out = m.apply(params, x, temb)
+    assert out.shape == x.shape
+
+
+def test_sampling_blocks():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    down = Downsample2D(16)
+    p = down.init(jax.random.PRNGKey(1), x)
+    assert down.apply(p, x).shape == (2, 4, 4, 16)
+    up = Upsample2D(16)
+    p = up.init(jax.random.PRNGKey(1), x)
+    assert up.apply(p, x).shape == (2, 16, 16, 16)
+
+
+def test_transformer_spatio_temporal():
+    b, f, h, w, c = 2, 3, 4, 4, 32
+    m = TransformerSpatioTemporalModel(num_heads=2, head_dim=16, num_frames=f)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b * f, h, w, c))
+    ehs = jax.random.normal(jax.random.PRNGKey(1), (b * f, 1, 24))
+    params = m.init(jax.random.PRNGKey(2), x, ehs)
+    out = m.apply(params, x, ehs)
+    assert out.shape == x.shape
+    # trainable-scope hook: temporal params carry the reference's name substring
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = ["/".join(str(getattr(k, "key", k)) for k in path) for path, _ in flat]
+    assert any("temporal_transformer_block" in n for n in names)
+
+
+def test_basic_transformer_blocks_shapes():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 10, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (4, 1, 24))
+    m = BasicTransformerBlock(num_heads=2, head_dim=16)
+    p = m.init(jax.random.PRNGKey(2), x, ctx)
+    assert m.apply(p, x, ctx).shape == x.shape
+    mt = TemporalBasicTransformerBlock(num_heads=2, head_dim=16)
+    pt = mt.init(jax.random.PRNGKey(3), x, ctx)
+    assert mt.apply(pt, x, ctx).shape == x.shape
