@@ -1,0 +1,90 @@
+"""Headline benchmark: img2vid frames/sec/chip at 512x320, 14 frames.
+
+Operating point A of the reference (README.md:17-20 / BASELINE.md): SVD
+image-to-video at 512x320, 14 frames, 25 Euler steps, CFG on, chunked
+temporal VAE decode (decode_chunk_size=8). Full-size SVD architecture
+(1.5B-param UNet, ViT-H CLIP, temporal-decoder VAE) with random bf16 weights
+(no pretrained checkpoint is available in this zero-egress environment; the
+compute graph is identical to the real checkpoint's).
+
+Prints ONE JSON line:
+  {"metric": "img2vid_frames_per_sec_per_chip", "value": N,
+   "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline is value / (2x estimated A100 frames/sec): the BASELINE.json
+north star is ">= 2x A100 frames/sec/chip". The reference publishes no
+numbers; the A100 estimate (2.8 frames/sec at this operating point, fp16,
+25 steps) is derived from commonly reported diffusers SVD timings
+(~40 s for 25 frames at 1024x576 on A100 -> scaled by pixel*frame count).
+So vs_baseline >= 1.0 means the target is met.
+"""
+
+import json
+import sys
+import time
+import traceback
+
+A100_EST_FRAMES_PER_SEC = 2.8
+TARGET_MULTIPLIER = 2.0
+
+
+def run_bench():
+    import jax
+    import jax.numpy as jnp
+
+    from svd_xtend_tpu.core.config import PipelineConfig
+    from svd_xtend_tpu.diffusion.pipeline import SVDModels, generate, init_pipeline_params
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        models = SVDModels(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        cfg = PipelineConfig(height=320, width=512, num_frames=14,
+                             num_inference_steps=25, decode_chunk_size=8)
+    else:  # CPU smoke fallback so the bench never hard-fails
+        from svd_xtend_tpu.core.config import TINY_CLIP, TINY_UNET, TINY_VAE
+        models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                           clip_config=TINY_CLIP, dtype=jnp.float32)
+        cfg = PipelineConfig(height=32, width=32, num_frames=2,
+                             num_inference_steps=2, decode_chunk_size=2)
+
+    rng = jax.random.PRNGKey(0)
+    params = init_pipeline_params(models, rng)
+    params = jax.tree.map(jax.device_put, params)
+    image = jax.random.uniform(jax.random.PRNGKey(1),
+                               (1, cfg.height, cfg.width, 3)) * 2.0 - 1.0
+
+    # compile (excluded from timing)
+    generate(models, params, image, rng, cfg).block_until_ready()
+
+    n_iters = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = generate(models, params, image, jax.random.PRNGKey(i), cfg)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames_per_sec = cfg.num_frames / dt
+    return {
+        "metric": "img2vid_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(
+            frames_per_sec / (TARGET_MULTIPLIER * A100_EST_FRAMES_PER_SEC), 3),
+        "detail": {
+            "seconds_per_video": round(dt, 3),
+            "operating_point": f"{cfg.width}x{cfg.height}x{cfg.num_frames}f, "
+                               f"{cfg.num_inference_steps} steps, CFG",
+            "platform": "tpu" if on_tpu else "cpu-smoke",
+        },
+    }
+
+
+if __name__ == "__main__":
+    try:
+        result = run_bench()
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        result = {"metric": "img2vid_frames_per_sec_per_chip", "value": 0.0,
+                  "unit": "frames/sec/chip", "vs_baseline": 0.0,
+                  "detail": {"error": "bench failed; see stderr"}}
+    print(json.dumps(result))

@@ -43,17 +43,21 @@ class SVDModels:
     clip_config: CLIPVisionConfig = CLIPVisionConfig()
     scheduler_config: SchedulerConfig = SchedulerConfig()
     dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
     attn_impl: str = "auto"
 
     def unet(self, remat: bool = False) -> UNetSpatioTemporalConditionModel:
         return UNetSpatioTemporalConditionModel(
-            self.unet_config, dtype=self.dtype, attn_impl=self.attn_impl, remat=remat)
+            self.unet_config, dtype=self.dtype, param_dtype=self.param_dtype,
+            attn_impl=self.attn_impl, remat=remat)
 
     def vae(self) -> AutoencoderKLTemporalDecoder:
-        return AutoencoderKLTemporalDecoder(self.vae_config, dtype=self.dtype)
+        return AutoencoderKLTemporalDecoder(self.vae_config, dtype=self.dtype,
+                                            param_dtype=self.param_dtype)
 
     def clip(self) -> CLIPVisionModelWithProjection:
-        return CLIPVisionModelWithProjection(self.clip_config, dtype=self.dtype)
+        return CLIPVisionModelWithProjection(self.clip_config, dtype=self.dtype,
+                                             param_dtype=self.param_dtype)
 
     def scheduler(self) -> EulerDiscreteScheduler:
         return EulerDiscreteScheduler(self.scheduler_config)

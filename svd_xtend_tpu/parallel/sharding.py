@@ -1,0 +1,92 @@
+"""Sharded training: place state/batch on the mesh, jit the train step.
+
+The reference's entire distributed story is accelerate-DDP (SURVEY.md §2.5).
+TPU-natively this file is the replacement: parameters (and optimizer moments,
+EMA, frozen trees — anything parameter-shaped) get NamedShardings from the
+name-based TP rules in core/mesh.py; batches shard over the 'data' axis; the
+train step is jitted with donated state and XLA GSPMD inserts all collectives
+(grad psum over 'data', activation all-reduces over 'model') over ICI.
+
+Parallelism coverage (SURVEY.md §2.5 table):
+  DP  — batch axis over 'data' (+= optimizer sharding via TP rules)
+  TP  — attention qkv/out + GEGLU matrices column/row-parallel over 'model'
+  PP  — n/a by design (UNet skip topology; model fits per chip in bf16)
+  SP  — frames-axis extension point (temporal attention all-to-all), post-MVP
+  EP  — n/a (no MoE in the model family)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import TrainConfig
+from ..core.mesh import DATA_AXIS, MODEL_AXIS, param_pspec
+from ..diffusion.pipeline import SVDModels
+from ..train.state import TrainState, make_train_step
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def state_shardings(state: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree for a TrainState (or any pytree whose leaf paths end
+    in parameter names — optimizer moments and EMA mirror the param tree, so
+    the same name-based rules apply to them)."""
+    tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+
+    def rule(path, leaf):
+        if leaf is None:
+            return None
+        return NamedSharding(mesh, param_pspec(_path_str(path), leaf, tp=tp))
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    shardings = state_shardings(state, mesh)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, shardings)
+
+
+def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
+    def place(x):
+        spec = [None] * x.ndim
+        spec[batch_axis] = DATA_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return jax.tree.map(place, batch)
+
+
+def make_sharded_train_step(
+    models: SVDModels,
+    cfg: TrainConfig,
+    optimizer,
+    frozen_params: dict,
+    mesh: Mesh,
+) -> Tuple[Callable, Callable, Callable]:
+    """Returns (jitted_step, place_state, place_batch).
+
+    The frozen VAE/CLIP params are closed over after device_put with the same
+    name rules (they are replicated unless a rule matches). State is donated:
+    params/opt-state buffers are reused in place, halving peak HBM.
+    """
+    frozen_sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), frozen_params,
+        state_shardings(frozen_params, mesh))
+    step_fn = make_train_step(models, cfg, optimizer, frozen_sharded)
+    # batch micro-axis: with grad accumulation the leading axis is the accum
+    # scan axis and axis 1 is the device batch
+    batch_axis = 1 if cfg.gradient_accumulation_steps > 1 else 0
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    def place_state(state: TrainState) -> TrainState:
+        return shard_train_state(state, mesh)
+
+    def place_batch(batch):
+        return shard_batch(batch, mesh, batch_axis=batch_axis)
+
+    return jitted, place_state, place_batch

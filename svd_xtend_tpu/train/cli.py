@@ -1,0 +1,277 @@
+"""Training CLI — the train_svd.py / train_svd_lora.py replacement.
+
+Behavior contract: the reference's flag surface (train_svd.py:294-569,
+train_svd_lora.py adds --rank) and main() call order (SURVEY.md §3.1):
+load models -> freeze encoders -> select trainable scope -> optimizer ->
+dataset/loader -> (resume) -> hot loop [encode, EDM loss, update, EMA] ->
+checkpoint/rotate -> validation sampling -> final export.
+
+Usage:
+  python -m svd_xtend_tpu.train.cli --base_folder ./frames --train_mode temporal
+  python -m svd_xtend_tpu.train.cli --base_folder ./frames --train_mode lora --rank 4
+
+TPU-native deltas: one jitted sharded step over a ('data','model') mesh
+replaces accelerate/DDP; bf16 replaces fp16+scaler; resume is exact
+(deterministic data sampling); loss is averaged in-graph.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (CLIPVisionConfig, MeshConfig, PipelineConfig,
+                           TrainConfig, UNetConfig, VAEConfig)
+from ..core.mesh import create_mesh
+from ..data.dataset import FrameFolderDataset, ShardedLoader
+from ..diffusion.pipeline import SVDModels, generate, init_pipeline_params
+from ..io.media import export_to_gif
+from ..parallel import make_sharded_train_step
+from ..train import checkpoint as ckpt_lib
+from ..train.optim import get_schedule, make_optimizer
+from ..train.state import create_train_state, param_audit, trainable_mask, unet_params_of
+from ..utils.logging import MetricWriter, get_logger
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="TPU-native SVD finetuning")
+    # data (reference --base_folder/--width/--height/--num_frames)
+    p.add_argument("--base_folder", required=True)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--num_frames", type=int, default=14)
+    p.add_argument("--num_workers", type=int, default=8)
+    # scope
+    p.add_argument("--train_mode", choices=["full", "temporal", "lora"],
+                   default="temporal")
+    p.add_argument("--rank", type=int, default=4, help="LoRA rank (=alpha)")
+    # optimization
+    p.add_argument("--per_device_batch_size", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=50000)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--lr_scheduler", default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--mixed_precision", choices=["no", "bf16"], default="bf16")
+    p.add_argument("--seed", type=int, default=123)
+    # checkpointing / validation / logging
+    p.add_argument("--output_dir", default="./outputs/svd-finetune")
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=2)
+    p.add_argument("--resume_from_checkpoint", default="",
+                   help="path or 'latest'")
+    p.add_argument("--validation_steps", type=int, default=500)
+    p.add_argument("--validation_image", default="",
+                   help="conditioning image for validation videos")
+    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--report_to", default="tensorboard")
+    # model init
+    p.add_argument("--pretrained_model_path", default="",
+                   help="dir with diffusers-format unet/vae/clip safetensors")
+    p.add_argument("--tiny_model", action="store_true",
+                   help="debug: use the tiny test configs")
+    # mesh
+    p.add_argument("--mesh_data", type=int, default=-1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--remat", choices=["none", "block"], default="block")
+    return p.parse_args(argv)
+
+
+def build_train_config(args) -> TrainConfig:
+    return TrainConfig(
+        base_folder=args.base_folder, width=args.width, height=args.height,
+        num_frames=args.num_frames, per_device_batch_size=args.per_device_batch_size,
+        num_workers=args.num_workers, learning_rate=args.learning_rate,
+        scale_lr=args.scale_lr, lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps, max_train_steps=args.max_train_steps,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        adam_beta1=args.adam_beta1, adam_beta2=args.adam_beta2,
+        adam_weight_decay=args.adam_weight_decay, adam_epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        conditioning_dropout_prob=args.conditioning_dropout_prob,
+        train_mode=args.train_mode, lora_rank=args.rank, lora_alpha=args.rank,
+        use_ema=args.use_ema, mixed_precision=args.mixed_precision,
+        output_dir=args.output_dir, checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        resume_from_checkpoint=args.resume_from_checkpoint,
+        validation_steps=args.validation_steps, seed=args.seed,
+        report_to=args.report_to, remat_policy=args.remat,
+        mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
+    )
+
+
+def load_or_init_params(models: SVDModels, args, rng):
+    """Pretrained diffusers-format weights if given, else random init."""
+    params = init_pipeline_params(models, rng)
+    if args.pretrained_model_path:
+        from ..io import convert
+        root = args.pretrained_model_path
+        unet_sd = convert.load_safetensors(
+            os.path.join(root, "unet", "diffusion_pytorch_model.safetensors"))
+        params["unet"] = convert.diffusers_to_flax(unet_sd, params["unet"])
+        vae_sd = convert.load_safetensors(
+            os.path.join(root, "vae", "diffusion_pytorch_model.safetensors"))
+        params["vae"] = convert.diffusers_to_flax(vae_sd, params["vae"])
+        clip_sd = convert.load_safetensors(
+            os.path.join(root, "image_encoder", "model.safetensors"))
+        params["clip"] = convert.clip_transformers_to_flax(
+            clip_sd, params["clip"], patch_size=models.clip_config.patch_size)
+    return params
+
+
+def run_validation(models: SVDModels, params: dict, args, cfg: TrainConfig,
+                   step: int, logger) -> None:
+    """Generate a video from the fixed validation image and save a GIF
+    (reference train_svd.py:1092-1157)."""
+    if jax.process_index() != 0:
+        return
+    from PIL import Image
+    if args.validation_image and os.path.exists(args.validation_image):
+        img = Image.open(args.validation_image).convert("RGB").resize(
+            (cfg.width, cfg.height), Image.Resampling.BICUBIC)
+        image = jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0)[None]
+    else:
+        logger.info("no --validation_image; skipping validation sampling")
+        return
+    pipe_cfg = PipelineConfig(height=cfg.height, width=cfg.width,
+                              num_frames=cfg.num_frames,
+                              num_inference_steps=args.num_inference_steps,
+                              fps_offset=0)   # training convention: raw fps
+    video = generate(models, params, image, jax.random.PRNGKey(step), pipe_cfg)
+    frames = [np.asarray((video[0, i] + 1) / 2) for i in range(video.shape[1])]
+    out_dir = os.path.join(cfg.output_dir, "validation_images")
+    os.makedirs(out_dir, exist_ok=True)
+    export_to_gif(frames, os.path.join(out_dir, f"val_img_{step}.gif"))
+    logger.info("validation GIF saved at step %d", step)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_train_config(args)
+    logger = get_logger()
+
+    if jax.process_count() > 1:  # pragma: no cover — multi-host entry
+        jax.distributed.initialize()
+
+    mesh = create_mesh(cfg.mesh)
+    logger.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
+
+    if args.tiny_model:
+        from ..core.config import TINY_CLIP, TINY_UNET, TINY_VAE
+        models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                           clip_config=TINY_CLIP,
+                           dtype=jnp.bfloat16 if cfg.mixed_precision == "bf16"
+                           else jnp.float32)
+    else:
+        models = SVDModels(dtype=jnp.bfloat16 if cfg.mixed_precision == "bf16"
+                           else jnp.float32)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    params = load_or_init_params(models, args, rng)
+    frozen = {"vae": params["vae"], "clip": params["clip"]}
+
+    optimizer = make_optimizer(cfg, num_processes=jax.process_count())
+    schedule = get_schedule(cfg.lr_scheduler, cfg.learning_rate,
+                            cfg.lr_warmup_steps, cfg.max_train_steps)
+    state = create_train_state(cfg, params["unet"], optimizer,
+                               lora_rng=jax.random.fold_in(rng, 1))
+
+    # param audit (reference params_freeze.txt/params_train.txt)
+    if jax.process_index() == 0 and cfg.train_mode in ("full", "temporal"):
+        mask = trainable_mask(params["unet"], cfg.train_mode)
+        frozen_names, train_names = param_audit(params["unet"], mask)
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        with open(os.path.join(cfg.output_dir, "params_freeze.txt"), "w") as f:
+            f.write("\n".join(frozen_names))
+        with open(os.path.join(cfg.output_dir, "params_train.txt"), "w") as f:
+            f.write("\n".join(train_names))
+
+    manager = ckpt_lib.CheckpointManager(cfg.output_dir,
+                                         cfg.checkpoints_total_limit)
+    data_step = 0
+    if cfg.resume_from_checkpoint:
+        abstract = jax.eval_shape(lambda s: s, state)
+        state, _, data_state = manager.restore(cfg.resume_from_checkpoint, abstract)
+        data_step = int(data_state.get("step", int(state.step)))
+        logger.info("resumed at step %d", int(state.step))
+
+    step_fn, place_state, place_batch = make_sharded_train_step(
+        models, cfg, optimizer, frozen, mesh)
+
+    dataset = FrameFolderDataset(cfg.base_folder, cfg.width, cfg.height,
+                                 cfg.num_frames)
+    accum = cfg.gradient_accumulation_steps
+    local_bs = cfg.per_device_batch_size * max(
+        1, mesh.shape["data"] // jax.process_count()) * accum
+    loader = ShardedLoader(dataset, local_bs, seed=cfg.seed, start_step=data_step,
+                           num_workers=cfg.num_workers,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
+    writer = MetricWriter(os.path.join(cfg.output_dir, "logs"))
+
+    with mesh:
+        state = place_state(state)
+        start = int(state.step)
+        t_last = time.perf_counter()
+        for step in range(start, cfg.max_train_steps):
+            batch = next(loader)
+            if accum > 1:
+                batch = batch.reshape(accum, local_bs // accum,
+                                      *batch.shape[1:])
+            state, metrics = step_fn(state, place_batch(batch), rng)
+
+            if (step + 1) % 10 == 0 or step == start:
+                loss = float(metrics["loss"])
+                now = time.perf_counter()
+                sps = 10 / (now - t_last) if step > start else 1 / (now - t_last)
+                t_last = now
+                writer.write(step + 1, {"train_loss": loss,
+                                        "grad_norm": float(metrics["grad_norm"]),
+                                        "lr": float(schedule(step)),
+                                        "steps_per_sec": sps})
+                logger.info("step %d loss %.4f (%.2f steps/s)",
+                            step + 1, loss, sps)
+
+            if (step + 1) % cfg.checkpointing_steps == 0:
+                manager.save(step + 1, jax.device_get(state), cfg,
+                             loader.state())
+                logger.info("checkpoint saved at step %d", step + 1)
+
+            if (step + 1) % cfg.validation_steps == 0 or step == start:
+                eval_params = dict(params)
+                eval_params["unet"] = (state.ema_params if state.ema_params
+                                       is not None else unet_params_of(state, cfg))
+                run_validation(models, eval_params, args, cfg, step + 1, logger)
+
+    # final export (reference train_svd.py:1166-1189)
+    loader.close()
+    if jax.process_index() == 0:
+        final_unet = (state.ema_params if state.ema_params is not None
+                      else unet_params_of(state, cfg))
+        ckpt_lib.export_unet_diffusers(
+            jax.device_get(final_unet), os.path.join(cfg.output_dir, "unet"),
+            config_json=models.unet_config.to_json())
+        if cfg.train_mode == "lora":
+            ckpt_lib.export_lora_diffusers(jax.device_get(state.params),
+                                           cfg.output_dir)
+        logger.info("final model exported to %s", cfg.output_dir)
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §2.5).
+
+Validates: dp x tp mesh construction, TP rules on attention/GEGLU kernels,
+the sharded train step end-to-end, and dp-vs-single-device numerical
+equivalence of the loss/update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from svd_xtend_tpu.core.config import TINY_CLIP, TINY_UNET, TINY_VAE, TrainConfig
+from svd_xtend_tpu.core.mesh import MODEL_AXIS, param_pspec
+from svd_xtend_tpu.diffusion.pipeline import SVDModels, init_pipeline_params
+from svd_xtend_tpu.parallel import make_sharded_train_step
+from svd_xtend_tpu.train.optim import make_optimizer
+from svd_xtend_tpu.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                       clip_config=TINY_CLIP, dtype=jnp.float32)
+    params = init_pipeline_params(models, jax.random.PRNGKey(0))
+    return models, params
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+
+
+def test_param_pspec_rules():
+    w = jnp.zeros((64, 128))
+    assert param_pspec("down_blocks_0/attentions_0/transformer_blocks_0/attn1/to_q/kernel",
+                       w) == P(None, MODEL_AXIS)
+    assert param_pspec("mid_block/attentions_0/transformer_blocks_0/attn1/to_out/kernel",
+                       w) == P(MODEL_AXIS, None)
+    assert param_pspec("ff/net_0_proj/kernel", w) == P(None, MODEL_AXIS)
+    assert param_pspec("ff/net_2/kernel", w) == P(MODEL_AXIS, None)
+    assert param_pspec("conv_in/kernel", jnp.zeros((3, 3, 8, 32))) == P()
+    assert param_pspec("norm1/scale", jnp.zeros((32,))) == P()
+    # optimizer moments mirror the param paths (mu/nu prefixes)
+    assert param_pspec("0/mu/attn1/to_q/kernel", w) == P(None, MODEL_AXIS)
+
+
+def _run_step(models, params, mesh_shape):
+    devices = np.asarray(jax.devices()[:mesh_shape[0] * mesh_shape[1]])
+    mesh = Mesh(devices.reshape(mesh_shape), ("data", "model"))
+    cfg = TrainConfig(train_mode="temporal", learning_rate=1e-3,
+                      lr_scheduler="constant")
+    opt = make_optimizer(cfg)
+    # copy: the jitted step donates state buffers; don't donate the fixture's
+    unet0 = jax.tree.map(lambda x: x.copy(), params["unet"])
+    state = create_train_state(cfg, unet0, opt)
+    step, place_state, place_batch = make_sharded_train_step(
+        models, cfg, opt, {"vae": params["vae"], "clip": params["clip"]}, mesh)
+    batch = jax.random.uniform(jax.random.PRNGKey(7), (4, 2, 32, 32, 3)) * 2 - 1
+    with mesh:
+        state = place_state(state)
+        batch_s = place_batch(batch)
+        state, metrics = step(state, batch_s, jax.random.PRNGKey(3))
+    return state, metrics
+
+
+def test_sharded_train_step_dp_tp(setup):
+    models, params = setup
+    state, metrics = _run_step(models, params, (4, 2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    # TP rule actually applied: a to_q kernel is sharded over 'model'
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if name.endswith("to_q/kernel"):
+            spec = leaf.sharding.spec
+            assert MODEL_AXIS in jax.tree.leaves(tuple(spec)), (name, spec)
+            break
+    else:
+        pytest.fail("no to_q kernel found")
+
+
+def test_dp_matches_single_device(setup):
+    """The same global batch must give the same loss under (4,2) dp x tp as
+    under a (1,1) mesh — GSPMD collectives must not change the math."""
+    models, params = setup
+    _, m_multi = _run_step(models, params, (4, 2))
+    _, m_single = _run_step(models, params, (1, 1))
+    np.testing.assert_allclose(float(m_multi["loss"]), float(m_single["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m_multi["grad_norm"]),
+                               float(m_single["grad_norm"]), rtol=2e-3)
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
