@@ -76,6 +76,9 @@ class UNetConfig(_JsonMixin):
     resnet_eps: float = 1e-5
     norm_eps: float = 1e-6        # GroupNorm inside transformer models
     dropout: float = 0.0
+    # Tracklet2Video (bbox-conditioned) branch: 0 disables (README.md:57-70)
+    tracklet_dim: int = 0
+    tracklet_heads: int = 8
 
     @property
     def time_embed_dim(self) -> int:

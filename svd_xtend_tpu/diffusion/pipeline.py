@@ -160,6 +160,8 @@ def generate(
     image: Array,                  # (B, H, W, 3) in [-1, 1]
     rng: Array,
     config: PipelineConfig = PipelineConfig(),
+    boxes: Optional[Array] = None,      # (B, F, N, 4) Tracklet2Video cond
+    box_mask: Optional[Array] = None,   # (B, F, N)
 ) -> Array:
     """img2vid: returns (B, F, H, W, 3) pixels in [-1, 1]."""
     cfg = config
@@ -190,6 +192,14 @@ def generate(
                             dtype=jnp.float32).reshape(1, f, 1, 1, 1)
     unet = models.unet()
 
+    boxes2 = mask2 = None
+    if boxes is not None:
+        # CFG: unconditional half gets fully-masked (null) boxes
+        boxes2 = jnp.concatenate([jnp.zeros_like(boxes), boxes], axis=0)
+        if box_mask is None:
+            box_mask = jnp.ones(boxes.shape[:3], jnp.float32)
+        mask2 = jnp.concatenate([jnp.zeros_like(box_mask), box_mask], axis=0)
+
     def step(latents, sig_pair):
         sigma, sigma_next = sig_pair
         x_in = jnp.concatenate([latents, latents], axis=0)
@@ -197,7 +207,7 @@ def generate(
         x_in = jnp.concatenate([x_in, cond_lat2], axis=-1)   # 8-channel input
         t = jnp.broadcast_to(scheduler.timestep(sigma), (2 * b,))
         out = unet.apply({"params": params["unet"]}, x_in.astype(models.dtype),
-                         t, ehs, add_ids2).astype(jnp.float32)
+                         t, ehs, add_ids2, boxes2, mask2).astype(jnp.float32)
         uncond, cond = jnp.split(out, 2, axis=0)
         model_out = uncond + guidance * (cond - uncond)
         denoised = scheduler.denoised(model_out, latents, sigma)

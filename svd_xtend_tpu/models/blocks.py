@@ -26,6 +26,27 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm immediately followed by SiLU — dispatched to the fused
+    Pallas kernel on TPU (ops/pallas/groupnorm.py), XLA elsewhere. Param
+    names (scale/bias) match nn.GroupNorm so checkpoints are unaffected."""
+
+    groups: int = 32
+    eps: float = 1e-5
+    impl: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops.pallas.groupnorm import group_norm_silu
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return group_norm_silu(x, scale, bias, groups=self.groups,
+                               eps=self.eps, impl=self.impl)
+
+
 class AlphaBlender(nn.Module):
     """Learnable scalar blend: a*spatial + (1-a)*temporal, a = sigmoid(mix).
 
@@ -74,17 +95,16 @@ class ResnetBlock2D(nn.Module):
         in_ch = x.shape[-1]
         conv = lambda name: nn.Conv(self.out_channels, (3, 3), padding=1,
                                     dtype=self.dtype, param_dtype=self.param_dtype, name=name)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
-        h = nn.silu(h)
+        gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
+                                         dtype=self.dtype,
+                                         param_dtype=self.param_dtype, name=name)
+        h = gns("norm1")(x)
         h = conv("conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = gns("norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv("conv2")(h)
@@ -114,18 +134,17 @@ class TemporalResnetBlock(nn.Module):
         xs = x.reshape(b, f, hh * ww, c)
         conv = lambda name: nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
                                     dtype=self.dtype, param_dtype=self.param_dtype, name=name)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(xs)
-        h = nn.silu(h)
+        gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
+                                         dtype=self.dtype,
+                                         param_dtype=self.param_dtype, name=name)
+        h = gns("norm1")(xs)
         h = conv("conv1")(h)
         if temb is not None:
             # temb: (B, F, C_t) per-frame embedding
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, :, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = gns("norm2")(h)
         h = conv("conv2")(h)
         if c != self.out_channels:
             xs = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,

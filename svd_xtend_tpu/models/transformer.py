@@ -139,12 +139,14 @@ class TransformerSpatioTemporalModel(nn.Module):
     norm_eps: float = 1e-6
     num_frames: int = 25
     attn_impl: str = "auto"
+    use_tracklet: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, encoder_hidden_states: Array,
-                 image_only_indicator: Optional[Array] = None) -> Array:
+                 image_only_indicator: Optional[Array] = None,
+                 tracklet_tokens: Optional[Array] = None) -> Array:
         bf, h, w, c = x.shape
         f = self.num_frames
         b = bf // f
@@ -179,6 +181,12 @@ class TransformerSpatioTemporalModel(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"transformer_blocks_{i}",
             )(tokens, encoder_hidden_states)
+            if self.use_tracklet and tracklet_tokens is not None:
+                from .tracklet import GatedSelfAttention
+                tokens = GatedSelfAttention(
+                    self.num_heads, self.head_dim, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name=f"gated_attentions_{i}",
+                )(tokens, tracklet_tokens)
             mix = tokens + emb
             mix = tokens_to_temporal(mix, f)               # (B*HW, F, inner)
             mix = TemporalBasicTransformerBlock(

@@ -61,11 +61,13 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     add_downsample: bool = True
     resnet_eps: float = 1e-5
     attn_impl: str = "auto"
+    use_tracklet: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, temb: Array, ehs: Array, indicator: Optional[Array]):
+    def __call__(self, x: Array, temb: Array, ehs: Array, indicator: Optional[Array],
+                 tracklet_tokens: Optional[Array] = None):
         residuals = []
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
@@ -76,8 +78,9 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
             x = TransformerSpatioTemporalModel(
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,
+                use_tracklet=self.use_tracklet,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
-            )(x, ehs, indicator)
+            )(x, ehs, indicator, tracklet_tokens)
             residuals.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype,
@@ -94,11 +97,13 @@ class UNetMidBlockSpatioTemporal(nn.Module):
     num_layers: int = 1
     resnet_eps: float = 1e-5
     attn_impl: str = "auto"
+    use_tracklet: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, temb: Array, ehs: Array, indicator: Optional[Array]):
+    def __call__(self, x: Array, temb: Array, ehs: Array, indicator: Optional[Array],
+                 tracklet_tokens: Optional[Array] = None):
         head_dim = self.channels // self.num_heads
         res = lambda i: SpatioTemporalResBlock(
             self.channels, self.num_frames, eps=self.resnet_eps, dtype=self.dtype,
@@ -108,8 +113,9 @@ class UNetMidBlockSpatioTemporal(nn.Module):
             x = TransformerSpatioTemporalModel(
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,
+                use_tracklet=self.use_tracklet,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
-            )(x, ehs, indicator)
+            )(x, ehs, indicator, tracklet_tokens)
             x = res(i + 1)(x, temb, indicator)
         return x
 
@@ -147,12 +153,14 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     add_upsample: bool = True
     resnet_eps: float = 1e-5
     attn_impl: str = "auto"
+    use_tracklet: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, skips: Tuple[Array, ...], temb: Array, ehs: Array,
-                 indicator: Optional[Array]):
+                 indicator: Optional[Array],
+                 tracklet_tokens: Optional[Array] = None):
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
@@ -163,8 +171,9 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
             x = TransformerSpatioTemporalModel(
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,
+                use_tracklet=self.use_tracklet,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
-            )(x, ehs, indicator)
+            )(x, ehs, indicator, tracklet_tokens)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="upsamplers_0")(x)
@@ -182,7 +191,9 @@ class UNetSpatioTemporalConditionModel(nn.Module):
 
     @nn.compact
     def __call__(self, sample: Array, timestep: Array, encoder_hidden_states: Array,
-                 added_time_ids: Array) -> Array:
+                 added_time_ids: Array, boxes: Optional[Array] = None,
+                 box_mask: Optional[Array] = None,
+                 instance_ids: Optional[Array] = None) -> Array:
         cfg = self.config
         b, f, h, w, _ = sample.shape
         t_dim = cfg.time_embed_dim
@@ -205,6 +216,17 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         ehs_f = jnp.repeat(encoder_hidden_states.astype(self.dtype), f, axis=0)
         indicator = jnp.zeros((b, f), jnp.float32)
 
+        # optional Tracklet2Video conditioning tokens (models/tracklet.py)
+        tracklet_tokens = None
+        use_tracklet = cfg.tracklet_dim > 0
+        if use_tracklet and boxes is not None:
+            from .tracklet import TrackletConditioner
+            if box_mask is None:
+                box_mask = jnp.ones(boxes.shape[:3], jnp.float32)
+            tracklet_tokens = TrackletConditioner(
+                cfg.tracklet_dim, cfg.tracklet_heads, name="tracklet_conditioner",
+                **common)(boxes, box_mask, instance_ids)
+
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     name="conv_in", **common)(x)
         residuals = [x]
@@ -221,8 +243,9 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     cfg.num_attention_heads[i],
                     transformer_layers=cfg.transformer_layers_per_block[i],
                     add_downsample=not is_final, resnet_eps=cfg.resnet_eps,
-                    attn_impl=self.attn_impl, name=f"down_blocks_{i}", **common,
-                )(x, emb_f, ehs_f, indicator)
+                    attn_impl=self.attn_impl, use_tracklet=use_tracklet,
+                    name=f"down_blocks_{i}", **common,
+                )(x, emb_f, ehs_f, indicator, tracklet_tokens)
             elif block_type == "DownBlockSpatioTemporal":
                 x, res = maybe_remat(DownBlockSpatioTemporal)(
                     cfg.block_out_channels[i], cfg.layers_per_block, f,
@@ -238,8 +261,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             cfg.block_out_channels[-1], f, cfg.num_attention_heads[-1],
             transformer_layers=cfg.transformer_layers_per_block[-1],
             resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
-            name="mid_block", **common,
-        )(x, emb_f, ehs_f, indicator)
+            use_tracklet=use_tracklet, name="mid_block", **common,
+        )(x, emb_f, ehs_f, indicator, tracklet_tokens)
 
         # ---- up ----
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -255,8 +278,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     rev_channels[i], n_res_up, f, rev_heads[i],
                     transformer_layers=rev_tlayers[i], add_upsample=not is_final,
                     resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
-                    name=f"up_blocks_{i}", **common,
-                )(x, skips, emb_f, ehs_f, indicator)
+                    use_tracklet=use_tracklet, name=f"up_blocks_{i}", **common,
+                )(x, skips, emb_f, ehs_f, indicator, tracklet_tokens)
             elif block_type == "UpBlockSpatioTemporal":
                 x = maybe_remat(UpBlockSpatioTemporal)(
                     rev_channels[i], n_res_up, f, add_upsample=not is_final,
@@ -266,8 +289,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 raise ValueError(f"unknown up block {block_type!r}")
 
         # ---- head ----
-        x = nn.GroupNorm(num_groups=32, epsilon=cfg.resnet_eps, name="conv_norm_out",
-                         **common)(x)
-        x = nn.silu(x)
+        from .blocks import GroupNormSiLU
+        x = GroupNormSiLU(groups=32, eps=cfg.resnet_eps, name="conv_norm_out",
+                          **common)(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(x)
         return x.reshape(b, f, h, w, cfg.out_channels)

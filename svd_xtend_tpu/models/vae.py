@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..core.config import VAEConfig
 from ..ops.attention import dot_product_attention
-from .blocks import Downsample2D, ResnetBlock2D, SpatioTemporalResBlock, Upsample2D
+from .blocks import (Downsample2D, GroupNormSiLU, ResnetBlock2D,
+                     SpatioTemporalResBlock, Upsample2D)
 
 Array = jax.Array
 
@@ -80,9 +81,8 @@ class Encoder(nn.Module):
         x = ResnetBlock2D(ch, eps=cfg.norm_eps, name="mid_resnets_0", **common)(x)
         x = VAEAttention(eps=cfg.norm_eps, name="mid_attentions_0", **common)(x)
         x = ResnetBlock2D(ch, eps=cfg.norm_eps, name="mid_resnets_1", **common)(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=cfg.norm_eps,
-                         name="conv_norm_out", **common)(x)
-        x = nn.silu(x)
+        x = GroupNormSiLU(groups=32, eps=cfg.norm_eps,
+                          name="conv_norm_out", **common)(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
                        name="conv_out", **common)(x)
 
@@ -119,9 +119,8 @@ class TemporalDecoder(nn.Module):
             if i < len(rev) - 1:
                 x = Upsample2D(ch, name=f"up_blocks_{i}_upsamplers_0", **common)(x)
 
-        x = nn.GroupNorm(num_groups=32, epsilon=cfg.norm_eps,
-                         name="conv_norm_out", **common)(x)
-        x = nn.silu(x)
+        x = GroupNormSiLU(groups=32, eps=cfg.norm_eps,
+                          name="conv_norm_out", **common)(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(x)
 
         # final temporal smoothing conv over frames: (B, F, S, C), kernel (3, 1)

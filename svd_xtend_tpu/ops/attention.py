@@ -37,8 +37,9 @@ def _flash_ok(q: Array, k: Array) -> bool:
     if jax.default_backend() != "tpu":
         return False
     s, t, d = q.shape[1], k.shape[1], q.shape[3]
-    # flash pays off for long sequences; needs lane-aligned head_dim
-    return s >= 512 and t >= 512 and d % 128 == 0
+    # flash pays off for long sequences (SVD spatial attention: 640-4608
+    # tokens, head_dim 64); needs 128-tile-aligned sequences
+    return s >= 512 and t >= 512 and s % 128 == 0 and t % 128 == 0 and d <= 128
 
 
 def dot_product_attention(

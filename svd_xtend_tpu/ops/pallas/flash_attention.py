@@ -1,0 +1,280 @@
+"""Pallas TPU flash attention (forward + backward), non-causal.
+
+The TPU-native replacement for the reference's xformers/SDPA fast path
+(train_svd.py:681-693; SURVEY.md §2.4). Tuned for the SVD spatial attention
+shape family: sequences 640-4608 tokens (h*w at latent resolutions), head_dim
+64, large fused batch (b*frames*heads). The (S, S) score matrix is never
+materialized — online softmax over KV tiles (the memory lever that lets
+576x1024xf25 training fit a v5e chip, SURVEY.md §7).
+
+Layout notes (Mosaic tiling wants (8k, 128m) tiles):
+  - kernels run on (BH, S, D): batch and heads pre-merged by the wrapper.
+  - softmax stats (m, l) live in VMEM scratch as (BLOCK, 128) —
+    lane-replicated columns, so `exp(s - m)` is a pure elementwise op against
+    the (BLOCK, BLOCK) score tile.
+  - LSE / delta cross-kernel tensors use an (BH, 8, S) "lanes" layout:
+    the row vector the dkv kernel needs is a free slice; the column vector
+    the dq kernel needs is one tiny (1, BLOCK) transpose per tile.
+
+Backward is the standard FA-2 recipe: forward also emits LSE; the dq kernel
+re-computes P tile-by-tile and accumulates ds @ K; the dkv kernel walks Q
+tiles accumulating P^T @ dO and ds^T @ Q; delta = rowsum(dO * O) is a cheap
+XLA prologue. On non-TPU backends kernels run interpreted (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+BLOCK = 128
+LANES = 128
+SUBS = 8          # sublane replication for the (BH, 8, S) stat tensors
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ------------------------------------------------------------- forward -----
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale: float, kv_tiles: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                     # (bq, D)
+    k = k_ref[0]                                     # (bk, D)
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    m_prev = m_scr[...]                              # (bq, 128) lane-replicated
+    l_prev = l_scr[...]
+    m_curr = jax.lax.broadcast_in_dim(jnp.max(s, axis=1), (BLOCK, LANES), (0,))
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)                          # (bq, bk); bk == LANES
+    l_curr = jax.lax.broadcast_in_dim(jnp.sum(p, axis=1), (BLOCK, LANES), (0,))
+    l_next = alpha * l_prev + l_curr
+    m_scr[...] = m_next
+    l_scr[...] = l_next
+
+    d = acc_scr.shape[-1]
+    acc_scr[...] = acc_scr[...] * alpha[:, :d] + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == kv_tiles - 1)
+    def _finalize():
+        l = l_scr[...]
+        o_ref[0] = (acc_scr[...] / jnp.where(l[:, :d] == 0.0, 1.0, l[:, :d])
+                    ).astype(o_ref.dtype)
+        lse = m_scr[...] + jnp.log(jnp.maximum(l, 1e-30))   # (bq, 128)
+        lse_ref[0] = lse[:, :SUBS].T                          # (8, bq)
+
+
+def _fwd(q: Array, k: Array, v: Array, scale: float) -> Tuple[Array, Array]:
+    bh, s_q, d = q.shape
+    s_kv = k.shape[1]
+    q_tiles, kv_tiles = s_q // BLOCK, s_kv // BLOCK
+    grid = (bh, q_tiles, kv_tiles)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_tiles=kv_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, SUBS, BLOCK), lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, SUBS, s_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, LANES), jnp.float32),
+            pltpu.VMEM((BLOCK, LANES), jnp.float32),
+            pltpu.VMEM((BLOCK, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v)
+    return out, lse
+
+
+# ------------------------------------------------------------ backward -----
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+               *, scale: float, kv_tiles: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse_col = lse_ref[0][0:1, :].T                   # (bq, 1)
+    delta_col = delta_ref[0][0:1, :].T               # (bq, 1)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse_col)                         # (bq, bk)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_col) * scale
+    dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(ki == kv_tiles - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, q_tiles: int):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse_row = lse_ref[0][0:1, :]                     # (1, bq)
+    delta_row = delta_ref[0][0:1, :]
+
+    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    pt = jnp.exp(st - lse_row)                       # (bk, bq)
+    dv_scr[...] += jax.lax.dot(pt.astype(do.dtype), do,
+                               preferred_element_type=jnp.float32)
+    dpt = jax.lax.dot_general(v.astype(jnp.float32), do, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dst = pt * (dpt - delta_row) * scale
+    dk_scr[...] += jax.lax.dot(dst.astype(q.dtype), q,
+                               preferred_element_type=jnp.float32)
+
+    @pl.when(qi == q_tiles - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_impl(q, k, v, o, lse, do, scale):
+    bh, s_q, d = q.shape
+    s_kv = k.shape[1]
+    q_tiles, kv_tiles = s_q // BLOCK, s_kv // BLOCK
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, SUBS, s_q))
+
+    lanes_spec = pl.BlockSpec((1, SUBS, BLOCK), lambda b, i, j: (b, 0, i))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, kv_tiles=kv_tiles),
+        grid=(bh, q_tiles, kv_tiles),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
+            lanes_spec,
+            lanes_spec,
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+
+    lanes_spec_q = pl.BlockSpec((1, SUBS, BLOCK), lambda b, ki, qi: (b, 0, qi))
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, q_tiles=q_tiles),
+        grid=(bh, kv_tiles, q_tiles),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, qi, 0)),
+            lanes_spec_q,
+            lanes_spec_q,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.float32),
+                        pltpu.VMEM((BLOCK, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ------------------------------------------------------- custom_vjp glue ---
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q: Array, k: Array, v: Array, scale: float) -> Array:
+    return _fwd(q, k, v, scale)[0]
+
+
+def _flash_fwd(q, k, v, scale):
+    o, lse = _fwd(q, k, v, scale)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd(scale, res, do):
+    q, k, v, o, lse = res
+    return _bwd_impl(q, k, v, o, lse, do, scale)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# ------------------------------------------------------------- public ------
+
+def supports(q_shape: Tuple[int, ...], kv_len: int) -> bool:
+    """Tile-alignment gate: sequences must divide the 128 block."""
+    _, s, _, d = q_shape
+    return s % BLOCK == 0 and kv_len % BLOCK == 0 and d <= BLOCK
+
+
+def flash_attention(q: Array, k: Array, v: Array, *, scale: float) -> Array:
+    """(B, S, H, D) x (B, T, H, D) -> (B, S, H, D), softmax over T."""
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    if not supports(q.shape, t):
+        raise ValueError(f"flash_attention needs S,T % {BLOCK} == 0 and "
+                         f"D <= {BLOCK}; got S={s} T={t} D={d}")
+    to_bh = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+    out = _flash(to_bh(q), to_bh(k), to_bh(v), scale)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,81 @@
+"""Flash-attention kernel parity vs the XLA oracle (interpret mode on CPU).
+
+Forward AND backward (custom VJP) must match plain attention to fp32
+tolerance at the SVD spatial shapes (S=128k multiples, D=64)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svd_xtend_tpu.ops.attention import _xla_attention
+from svd_xtend_tpu.ops.pallas.flash_attention import flash_attention, supports
+
+
+def _qkv(b=2, s=256, h=2, d=64, dtype=jnp.float32, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    mk = lambda k: jax.random.normal(k, (b, s, h, d), dtype)
+    return mk(ks[0]), mk(ks[1]), mk(ks[2])
+
+
+def test_supports_gate():
+    assert supports((1, 2560, 5, 64), 2560)
+    assert supports((1, 640, 10, 64), 640)
+    assert not supports((1, 160, 20, 64), 160)   # not 128-aligned
+    assert not supports((1, 256, 2, 256), 256)   # head_dim too large
+
+
+@pytest.mark.parametrize("s,d", [(128, 64), (256, 64), (384, 128)])
+def test_forward_parity(s, d):
+    q, k, v = _qkv(s=s, d=d)
+    scale = d ** -0.5
+    out = flash_attention(q, k, v, scale=scale)
+    expected = _xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_forward_parity_bf16():
+    q, k, v = _qkv(s=256, d=64, dtype=jnp.bfloat16)
+    out = flash_attention(q, k, v, scale=0.125)
+    expected = _xla_attention(q, k, v, 0.125)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(expected, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_forward_extreme_logits():
+    """Online softmax must stay stable for large-magnitude scores."""
+    q, k, v = _qkv(s=128, d=64)
+    out = flash_attention(10.0 * q, 10.0 * k, v, scale=1.0)
+    expected = _xla_attention(10.0 * q, 10.0 * k, v, 1.0)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_backward_parity():
+    q, k, v = _qkv(s=256, d=64)
+    scale = 64 ** -0.5
+    cot = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=scale) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, gf, gr in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-5, rtol=1e-4,
+                                   err_msg=f"grad d{name} mismatch")
+
+
+def test_cross_shape_rejected():
+    q, k, v = _qkv(s=100, d=64)
+    with pytest.raises(ValueError, match="flash_attention needs"):
+        flash_attention(q, k, v, scale=1.0)

@@ -1,0 +1,70 @@
+"""Pipeline behavior tests (tiny configs): determinism, CFG, conventions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svd_xtend_tpu.core.config import (TINY_CLIP, TINY_UNET, TINY_VAE,
+                                       PipelineConfig)
+from svd_xtend_tpu.diffusion.pipeline import (SVDModels, generate,
+                                              get_add_time_ids,
+                                              init_pipeline_params)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                       clip_config=TINY_CLIP, dtype=jnp.float32)
+    params = init_pipeline_params(models, jax.random.PRNGKey(0))
+    image = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 2 - 1
+    return models, params, image
+
+
+CFG = PipelineConfig(height=32, width=32, num_frames=2, num_inference_steps=3,
+                     decode_chunk_size=2)
+
+
+def test_generate_deterministic(setup):
+    models, params, image = setup
+    v1 = generate(models, params, image, jax.random.PRNGKey(7), CFG)
+    v2 = generate(models, params, image, jax.random.PRNGKey(7), CFG)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    v3 = generate(models, params, image, jax.random.PRNGKey(8), CFG)
+    assert np.abs(np.asarray(v1) - np.asarray(v3)).max() > 1e-6
+
+
+def test_generate_depends_on_conditioning_image(setup):
+    models, params, image = setup
+    v1 = generate(models, params, image, jax.random.PRNGKey(7), CFG)
+    v2 = generate(models, params, -image, jax.random.PRNGKey(7), CFG)
+    assert np.abs(np.asarray(v1) - np.asarray(v2)).max() > 1e-6
+
+
+def test_add_time_ids_conventions():
+    """fps trap (SURVEY.md §7): training feeds raw fps; the upstream pipeline
+    embeds fps-1 — both must be expressible."""
+    ids = get_add_time_ids(7.0, 127.0, jnp.float32(0.02), batch=2)
+    assert ids.shape == (2, 3)
+    np.testing.assert_allclose(ids[0], [7.0, 127.0, 0.02], atol=1e-6)
+    train_cfg = PipelineConfig(fps=7, fps_offset=0)
+    infer_cfg = PipelineConfig(fps=7, fps_offset=1)
+    assert train_cfg.fps - train_cfg.fps_offset == 7
+    assert infer_cfg.fps - infer_cfg.fps_offset == 6
+
+
+def test_guidance_scale_frame_linspace(setup):
+    """Different max_guidance_scale must change the output (CFG active)."""
+    models, params, image = setup
+    import dataclasses
+    v1 = generate(models, params, image, jax.random.PRNGKey(7), CFG)
+    cfg2 = dataclasses.replace(CFG, max_guidance_scale=10.0)
+    v2 = generate(models, params, image, jax.random.PRNGKey(7), cfg2)
+    assert np.abs(np.asarray(v1) - np.asarray(v2)).max() > 1e-6
+
+
+def test_output_range_and_shape(setup):
+    models, params, image = setup
+    v = generate(models, params, image, jax.random.PRNGKey(0), CFG)
+    assert v.shape == (1, 2, 32, 32, 3)
+    assert float(v.min()) >= -1.0 and float(v.max()) <= 1.0
