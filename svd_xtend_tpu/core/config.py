@@ -80,6 +80,22 @@ class UNetConfig(_JsonMixin):
     tracklet_dim: int = 0
     tracklet_heads: int = 8
 
+    def __post_init__(self):
+        # constructor guardrails (reference src/unet_spatio_temporal_condition.py:102-125
+        # raises on mismatched per-block tuple lengths; :889-894 checks the
+        # add-embedding input dim = 3 sinusoid chunks)
+        n = len(self.block_out_channels)
+        if not (len(self.down_block_types) == len(self.up_block_types) == n
+                == len(self.num_attention_heads)
+                == len(self.transformer_layers_per_block)):
+            raise ValueError(
+                "down/up_block_types, block_out_channels, num_attention_heads "
+                "and transformer_layers_per_block must all have equal length")
+        if self.projection_class_embeddings_input_dim != 3 * self.addition_time_embed_dim:
+            raise ValueError(
+                "projection_class_embeddings_input_dim must equal "
+                "3 * addition_time_embed_dim ([fps, motion_bucket, noise_aug])")
+
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4

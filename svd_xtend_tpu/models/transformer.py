@@ -57,22 +57,38 @@ class Attention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU feed-forward: Dense(2*4c) -> x * gelu(gate) -> Dense(c)."""
+    """GEGLU feed-forward: Dense(2*4c) -> x * gelu(gate) -> Dense(c).
+
+    `chunk_size` > 0 processes the token axis in chunks (the reference's
+    enable_forward_chunking memory knob, src/unet_spatio_temporal_condition.py:328-355)
+    — the 8c-wide inner activation is never materialized for all tokens."""
 
     dim: int
     mult: int = 4
+    chunk_size: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="net_0_proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="net_2")(h)
+        proj_in = nn.Dense(inner * 2, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="net_0_proj")
+        proj_out = nn.Dense(self.dim, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="net_2")
+
+        def ff(tokens):
+            h, gate = jnp.split(proj_in(tokens), 2, axis=-1)
+            return proj_out(h * nn.gelu(gate))
+
+        s = x.shape[-2]
+        if self.chunk_size <= 0 or s % self.chunk_size or s == self.chunk_size:
+            return ff(x)
+        k = s // self.chunk_size
+        xs = jnp.moveaxis(
+            x.reshape(*x.shape[:-2], k, self.chunk_size, x.shape[-1]), -3, 0)
+        out = jax.lax.map(ff, xs)
+        return jnp.moveaxis(out, 0, -3).reshape(x.shape)
 
 
 class BasicTransformerBlock(nn.Module):

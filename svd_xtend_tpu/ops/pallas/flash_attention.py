@@ -40,6 +40,14 @@ SUBS = 8          # sublane replication for the (BH, 8, S) stat tensors
 NEG_INF = -1e30
 
 
+def _choose_block(s: int, candidates=(512, 256, 128)) -> int:
+    """Largest candidate major-tile size dividing the sequence length."""
+    for c in candidates:
+        if s % c == 0:
+            return c
+    raise ValueError(f"sequence {s} not divisible by {BLOCK}")
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -47,7 +55,7 @@ def _interpret() -> bool:
 # ------------------------------------------------------------- forward -----
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale: float, kv_tiles: int):
+                *, scale: float, kv_tiles: int, bq: int, bkm: int):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -57,25 +65,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]                                     # (bq, D)
-    k = k_ref[0]                                     # (bk, D)
-    v = v_ref[0]
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    m_prev = m_scr[...]                              # (bq, 128) lane-replicated
-    l_prev = l_scr[...]
-    m_curr = jax.lax.broadcast_in_dim(jnp.max(s, axis=1), (BLOCK, LANES), (0,))
-    m_next = jnp.maximum(m_prev, m_curr)
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)                          # (bq, bk); bk == LANES
-    l_curr = jax.lax.broadcast_in_dim(jnp.sum(p, axis=1), (BLOCK, LANES), (0,))
-    l_next = alpha * l_prev + l_curr
-    m_scr[...] = m_next
-    l_scr[...] = l_next
-
     d = acc_scr.shape[-1]
-    acc_scr[...] = acc_scr[...] * alpha[:, :d] + jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    # inner loop over BLOCK-sized KV sub-tiles of the (1, bkm, D) major tile
+    for j in range(bkm // BLOCK):
+        k = k_ref[0, pl.ds(j * BLOCK, BLOCK), :]     # (BLOCK, D)
+        v = v_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m_prev = m_scr[...]                          # (bq, 128) lane-replicated
+        l_prev = l_scr[...]
+        m_curr = jax.lax.broadcast_in_dim(jnp.max(s, axis=1), (bq, LANES), (0,))
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :BLOCK])           # (bq, BLOCK)
+        l_curr = jax.lax.broadcast_in_dim(jnp.sum(p, axis=1), (bq, LANES), (0,))
+        l_next = alpha * l_prev + l_curr
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        acc_scr[...] = acc_scr[...] * alpha[:, :d] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     @pl.when(ki == kv_tiles - 1)
     def _finalize():
@@ -89,28 +97,30 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 def _fwd(q: Array, k: Array, v: Array, scale: float) -> Tuple[Array, Array]:
     bh, s_q, d = q.shape
     s_kv = k.shape[1]
-    q_tiles, kv_tiles = s_q // BLOCK, s_kv // BLOCK
-    grid = (bh, q_tiles, kv_tiles)
+    bq, bkm = _choose_block(s_q), _choose_block(s_kv)
+    kv_tiles = s_kv // bkm
+    grid = (bh, s_q // bq, kv_tiles)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_tiles=kv_tiles),
+        functools.partial(_fwd_kernel, scale=scale, kv_tiles=kv_tiles,
+                          bq=bq, bkm=bkm),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bkm, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bkm, d), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, SUBS, BLOCK), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, SUBS, bq), lambda b, qi, ki: (b, 0, qi)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
             jax.ShapeDtypeStruct((bh, SUBS, s_q), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, LANES), jnp.float32),
-            pltpu.VMEM((BLOCK, LANES), jnp.float32),
-            pltpu.VMEM((BLOCK, d), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -122,7 +132,7 @@ def _fwd(q: Array, k: Array, v: Array, scale: float) -> Tuple[Array, Array]:
 # ------------------------------------------------------------ backward -----
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
-               *, scale: float, kv_tiles: int):
+               *, scale: float, kv_tiles: int, bkm: int):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -130,20 +140,22 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
     q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
     lse_col = lse_ref[0][0:1, :].T                   # (bq, 1)
     delta_col = delta_ref[0][0:1, :].T               # (bq, 1)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse_col)                         # (bq, bk)
-    dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_col) * scale
-    dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
-                               preferred_element_type=jnp.float32)
+    for j in range(bkm // BLOCK):
+        k = k_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+        v = v_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse_col)                     # (bq, BLOCK)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_col) * scale
+        dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                                   preferred_element_type=jnp.float32)
 
     @pl.when(ki == kv_tiles - 1)
     def _finalize():
@@ -151,7 +163,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, q_tiles: int):
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, q_tiles: int,
+                bqm: int):
     qi = pl.program_id(2)
 
     @pl.when(qi == 0)
@@ -159,23 +172,25 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
-    lse_row = lse_ref[0][0:1, :]                     # (1, bq)
-    delta_row = delta_ref[0][0:1, :]
 
-    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    pt = jnp.exp(st - lse_row)                       # (bk, bq)
-    dv_scr[...] += jax.lax.dot(pt.astype(do.dtype), do,
-                               preferred_element_type=jnp.float32)
-    dpt = jax.lax.dot_general(v.astype(jnp.float32), do, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dst = pt * (dpt - delta_row) * scale
-    dk_scr[...] += jax.lax.dot(dst.astype(q.dtype), q,
-                               preferred_element_type=jnp.float32)
+    for j in range(bqm // BLOCK):
+        q = q_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+        do = do_ref[0, pl.ds(j * BLOCK, BLOCK), :].astype(jnp.float32)
+        lse_row = lse_ref[0, 0:1, pl.ds(j * BLOCK, BLOCK)]     # (1, BLOCK)
+        delta_row = delta_ref[0, 0:1, pl.ds(j * BLOCK, BLOCK)]
+        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        pt = jnp.exp(st - lse_row)                   # (bk, BLOCK)
+        dv_scr[...] += jax.lax.dot(pt.astype(do.dtype), do,
+                                   preferred_element_type=jnp.float32)
+        dpt = jax.lax.dot_general(v.astype(jnp.float32), do,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dst = pt * (dpt - delta_row) * scale
+        dk_scr[...] += jax.lax.dot(dst.astype(q.dtype), q,
+                                   preferred_element_type=jnp.float32)
 
     @pl.when(qi == q_tiles - 1)
     def _finalize():
@@ -186,53 +201,54 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _bwd_impl(q, k, v, o, lse, do, scale):
     bh, s_q, d = q.shape
     s_kv = k.shape[1]
-    q_tiles, kv_tiles = s_q // BLOCK, s_kv // BLOCK
+    bq, bkm = _choose_block(s_q), _choose_block(s_kv)
+    q_tiles, kv_tiles = s_q // bq, s_kv // bkm
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[:, None, :], (bh, SUBS, s_q))
 
-    lanes_spec = pl.BlockSpec((1, SUBS, BLOCK), lambda b, i, j: (b, 0, i))
+    lanes_spec = pl.BlockSpec((1, SUBS, bq), lambda b, i, j: (b, 0, i))
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, kv_tiles=kv_tiles),
+        functools.partial(_dq_kernel, scale=scale, kv_tiles=kv_tiles, bkm=bkm),
         grid=(bh, q_tiles, kv_tiles),
         in_specs=[
-            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bkm, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bkm, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
             lanes_spec,
             lanes_spec,
         ],
-        out_specs=pl.BlockSpec((1, BLOCK, d), lambda b, qi, ki: (b, qi, 0)),
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(q, k, v, do, lse, delta)
 
-    lanes_spec_q = pl.BlockSpec((1, SUBS, BLOCK), lambda b, ki, qi: (b, 0, qi))
+    lanes_spec_q = pl.BlockSpec((1, SUBS, bq), lambda b, ki, qi: (b, 0, qi))
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, q_tiles=q_tiles),
+        functools.partial(_dkv_kernel, scale=scale, q_tiles=q_tiles, bqm=bq),
         grid=(bh, kv_tiles, q_tiles),
         in_specs=[
-            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, qi, 0)),
-            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, bkm, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bkm, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),
             lanes_spec_q,
             lanes_spec_q,
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, ki, 0)),
-            pl.BlockSpec((1, BLOCK, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bkm, d), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, bkm, d), lambda b, ki, qi: (b, ki, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((BLOCK, d), jnp.float32),
-                        pltpu.VMEM((BLOCK, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bkm, d), jnp.float32),
+                        pltpu.VMEM((bkm, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),

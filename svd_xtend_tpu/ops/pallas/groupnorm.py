@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+_VMEM_BUDGET_BYTES = 80 * 1024 * 1024
 
 
 def group_norm_silu_reference(x: Array, scale: Array, bias: Array,
@@ -47,18 +47,22 @@ def group_norm_silu_reference(x: Array, scale: Array, bias: Array,
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, member_ref, o_ref,
                     *, groups: int, eps: float, group_size: int, seq: int):
-    x = x_ref[0].astype(jnp.float32)                     # (S, C)
-    member = member_ref[...]                              # (C, G) 0/1
+    # stats via MXU matmuls in the INPUT dtype with fp32 accumulation — no
+    # full-size fp32 materialization (a bf16[28,640,1920] sample OOM'd the
+    # 16M scoped-vmem default when upcast; see BENCH notes)
+    x = x_ref[0]                                          # (S, C) input dtype
+    member = member_ref[...].astype(x.dtype)              # (C, G) 0/1 exact
     denom = float(seq * group_size)
     sums = jax.lax.dot(x, member, preferred_element_type=jnp.float32)
-    mean_g = jnp.sum(sums, axis=0, keepdims=True) / denom          # (1, G)
+    mean_g = jnp.sum(sums, axis=0, keepdims=True) / denom          # (1, G) f32
     sq = jax.lax.dot(x * x, member, preferred_element_type=jnp.float32)
     var_g = jnp.sum(sq, axis=0, keepdims=True) / denom - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)                             # (1, G)
-    # broadcast group stats back to channels via member^T matmul
-    mean_c = jax.lax.dot(mean_g, member.T, preferred_element_type=jnp.float32)
-    inv_c = jax.lax.dot(inv_g, member.T, preferred_element_type=jnp.float32)
-    out = (x - mean_c) * inv_c * scale_ref[...] + bias_ref[...]
+    # broadcast group stats back to channels via member^T matmul (fp32)
+    memberT = member_ref[...].T
+    mean_c = jax.lax.dot(mean_g, memberT, preferred_element_type=jnp.float32)
+    inv_c = jax.lax.dot(inv_g, memberT, preferred_element_type=jnp.float32)
+    out = (x.astype(jnp.float32) - mean_c) * inv_c * scale_ref[...] + bias_ref[...]
     o_ref[0] = (out * jax.nn.sigmoid(out)).astype(o_ref.dtype)
 
 
@@ -83,7 +87,8 @@ def _pallas_forward(x: Array, scale: Array, bias: Array, groups: int,
         out_specs=pl.BlockSpec((1, seq, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, seq, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(x3, scale.reshape(1, c).astype(jnp.float32),
       bias.reshape(1, c).astype(jnp.float32), member)
@@ -111,7 +116,8 @@ _gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 
 
 def fits_vmem(x_shape, dtype_bytes: int = 4) -> bool:
-    per_sample = int(np.prod(x_shape[1:])) * dtype_bytes
+    # the kernel holds ~4 sample-sized buffers (in, x*x, fp32 centered, out)
+    per_sample = int(np.prod(x_shape[1:])) * dtype_bytes * 4
     return per_sample <= _VMEM_BUDGET_BYTES
 
 

@@ -78,13 +78,21 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--validation_steps", type=int, default=500)
     p.add_argument("--validation_image", default="",
                    help="conditioning image for validation videos")
+    p.add_argument("--num_validation_images", type=int, default=1)
     p.add_argument("--num_inference_steps", type=int, default=25)
-    p.add_argument("--report_to", default="tensorboard")
+    p.add_argument("--report_to", default="tensorboard",
+                   help="tensorboard|wandb|all (wandb used when importable)")
+    p.add_argument("--push_to_hub", action="store_true",
+                   help="upload final model to the HF hub (needs network)")
+    p.add_argument("--hub_model_id", default="")
     # model init
     p.add_argument("--pretrained_model_path", default="",
                    help="dir with diffusers-format unet/vae/clip safetensors")
+    p.add_argument("--pretrain_unet", default="",
+                   help="alternative UNet init dir (reference --pretrain_unet)")
     p.add_argument("--tiny_model", action="store_true",
                    help="debug: use the tiny test configs")
+    p.add_argument("--attn_impl", choices=["auto", "flash", "xla"], default="auto")
     # mesh
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
@@ -131,6 +139,13 @@ def load_or_init_params(models: SVDModels, args, rng):
             os.path.join(root, "image_encoder", "model.safetensors"))
         params["clip"] = convert.clip_transformers_to_flax(
             clip_sd, params["clip"], patch_size=models.clip_config.patch_size)
+    if getattr(args, "pretrain_unet", ""):
+        # reference --pretrain_unet (train_svd.py:553-558): start the UNet
+        # from a different finetune than the rest of the pipeline
+        from ..io import convert
+        unet_sd = convert.load_safetensors(os.path.join(
+            args.pretrain_unet, "diffusion_pytorch_model.safetensors"))
+        params["unet"] = convert.diffusers_to_flax(unet_sd, params["unet"])
     return params
 
 
@@ -152,12 +167,16 @@ def run_validation(models: SVDModels, params: dict, args, cfg: TrainConfig,
                               num_frames=cfg.num_frames,
                               num_inference_steps=args.num_inference_steps,
                               fps_offset=0)   # training convention: raw fps
-    video = generate(models, params, image, jax.random.PRNGKey(step), pipe_cfg)
-    frames = [np.asarray((video[0, i] + 1) / 2) for i in range(video.shape[1])]
     out_dir = os.path.join(cfg.output_dir, "validation_images")
     os.makedirs(out_dir, exist_ok=True)
-    export_to_gif(frames, os.path.join(out_dir, f"val_img_{step}.gif"))
-    logger.info("validation GIF saved at step %d", step)
+    for i in range(max(1, args.num_validation_images)):
+        video = generate(models, params, image,
+                         jax.random.PRNGKey(step * 1000 + i), pipe_cfg)
+        frames = [np.asarray((video[0, j] + 1) / 2)
+                  for j in range(video.shape[1])]
+        suffix = f"_{i}" if args.num_validation_images > 1 else ""
+        export_to_gif(frames, os.path.join(out_dir, f"val_img_{step}{suffix}.gif"))
+    logger.info("validation GIF(s) saved at step %d", step)
 
 
 def main(argv=None):
@@ -165,21 +184,27 @@ def main(argv=None):
     cfg = build_train_config(args)
     logger = get_logger()
 
+    # preemption handling (SURVEY.md §5: reference has none): flag on SIGTERM,
+    # checkpoint at the next step boundary. Registered first so a signal
+    # during model init/compile is not fatal.
+    import signal
+    preempted = {"flag": False}
+    signal.signal(signal.SIGTERM, lambda *_: preempted.__setitem__("flag", True))
+
     if jax.process_count() > 1:  # pragma: no cover — multi-host entry
         jax.distributed.initialize()
 
     mesh = create_mesh(cfg.mesh)
     logger.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
 
+    dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else jnp.float32
     if args.tiny_model:
         from ..core.config import TINY_CLIP, TINY_UNET, TINY_VAE
         models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
-                           clip_config=TINY_CLIP,
-                           dtype=jnp.bfloat16 if cfg.mixed_precision == "bf16"
-                           else jnp.float32)
+                           clip_config=TINY_CLIP, dtype=dtype,
+                           attn_impl=args.attn_impl)
     else:
-        models = SVDModels(dtype=jnp.bfloat16 if cfg.mixed_precision == "bf16"
-                           else jnp.float32)
+        models = SVDModels(dtype=dtype, attn_impl=args.attn_impl)
 
     rng = jax.random.PRNGKey(cfg.seed)
     params = load_or_init_params(models, args, rng)
@@ -222,13 +247,19 @@ def main(argv=None):
                            num_workers=cfg.num_workers,
                            process_index=jax.process_index(),
                            process_count=jax.process_count())
-    writer = MetricWriter(os.path.join(cfg.output_dir, "logs"))
+    writer = MetricWriter(os.path.join(cfg.output_dir, "logs"),
+                          report_to=cfg.report_to)
 
     with mesh:
         state = place_state(state)
         start = int(state.step)
         t_last = time.perf_counter()
         for step in range(start, cfg.max_train_steps):
+            if preempted["flag"]:
+                manager.save(step, jax.device_get(state), cfg, loader.state())
+                logger.warning("preemption signal: checkpoint saved at step %d",
+                               step)
+                break
             batch = next(loader)
             if accum > 1:
                 batch = batch.reshape(accum, local_bs // accum,
@@ -270,6 +301,17 @@ def main(argv=None):
             ckpt_lib.export_lora_diffusers(jax.device_get(state.params),
                                            cfg.output_dir)
         logger.info("final model exported to %s", cfg.output_dir)
+        if args.push_to_hub:
+            # reference uploads via huggingface_hub (train_svd.py:1182-1188)
+            try:
+                from huggingface_hub import HfApi
+                api = HfApi()
+                repo_id = args.hub_model_id or os.path.basename(cfg.output_dir)
+                api.create_repo(repo_id, exist_ok=True)
+                api.upload_folder(repo_id=repo_id, folder_path=cfg.output_dir)
+                logger.info("pushed to hub: %s", repo_id)
+            except Exception as e:  # zero-egress environments
+                logger.warning("hub upload failed/skipped: %s", e)
     writer.close()
 
 

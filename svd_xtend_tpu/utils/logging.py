@@ -32,20 +32,30 @@ class MetricWriter:
     """Scalar writer: JSONL always; tensorboard when available. No-op on
     non-zero processes (single-writer discipline, reference train_svd.py:1060)."""
 
-    def __init__(self, logdir: str, use_tensorboard: bool = True):
+    def __init__(self, logdir: str, report_to: str = "tensorboard",
+                 project: str = "SVDXtend"):
         self.enabled = jax.process_index() == 0
         self._tb = None
+        self._wandb = None
         self._jsonl = None
         if not self.enabled:
             return
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
-        if use_tensorboard:
+        if report_to in ("tensorboard", "all"):
             try:
                 from tensorboardX import SummaryWriter
                 self._tb = SummaryWriter(logdir)
             except ImportError:
                 self._tb = None
+        if report_to in ("wandb", "all"):
+            # reference supports wandb trackers (train_svd.py:508-516, 608-612);
+            # gated on availability (this environment has no network egress)
+            try:
+                import wandb
+                self._wandb = wandb.init(project=project, dir=logdir)
+            except Exception:
+                self._wandb = None
 
     def write(self, step: int, metrics: Dict[str, float]):
         if not self.enabled:
@@ -57,9 +67,13 @@ class MetricWriter:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
 
     def close(self):
         if self._jsonl:
             self._jsonl.close()
         if self._tb:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
