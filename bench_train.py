@@ -1,0 +1,83 @@
+"""Training-throughput benchmark: finetune steps/sec at the reference
+operating point (512x320, 14 frames, bs=1/chip — README.md:42-54, temporal
+scope as shipped at train_svd.py:758-766; pass --mode full for the full-UNet
+target in BASELINE.md).
+
+Not the driver entry point (that's bench.py); prints one JSON line too.
+"""
+
+import argparse
+import json
+import sys
+import time
+import traceback
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["temporal", "full", "lora"],
+                   default="temporal")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--frames", type=int, default=14)
+    p.add_argument("--steps", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from svd_xtend_tpu.core.config import TrainConfig
+    from svd_xtend_tpu.diffusion.pipeline import SVDModels, init_pipeline_params
+    from svd_xtend_tpu.train.optim import make_optimizer
+    from svd_xtend_tpu.train.state import create_train_state, make_train_step
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        models = SVDModels(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        h, w, f = args.height, args.width, args.frames
+    else:
+        from svd_xtend_tpu.core.config import TINY_CLIP, TINY_UNET, TINY_VAE
+        models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                           clip_config=TINY_CLIP, dtype=jnp.float32)
+        h = w = 32
+        f = 2
+
+    params = init_pipeline_params(models, jax.random.PRNGKey(0))
+    cfg = TrainConfig(train_mode=args.mode, learning_rate=1e-5,
+                      lr_scheduler="constant", num_frames=f, height=h, width=w,
+                      remat_policy="block", mixed_precision="bf16" if on_tpu else "no")
+    opt = make_optimizer(cfg)
+    state = create_train_state(cfg, params["unet"], opt,
+                               lora_rng=jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(models, cfg, opt,
+                                   {"vae": params["vae"], "clip": params["clip"]}),
+                   donate_argnums=(0,))
+    batch = jax.random.uniform(jax.random.PRNGKey(2), (1, f, h, w, 3)) * 2 - 1
+
+    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    float(jax.device_get(metrics["loss"]))          # compile + sync
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    float(jax.device_get(metrics["loss"]))          # sync (relay-safe)
+    dt = (time.perf_counter() - t0) / args.steps
+
+    print(json.dumps({
+        "metric": f"train_steps_per_sec_{args.mode}",
+        "value": round(1.0 / dt, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": 0.0,   # reference publishes no steps/sec (BASELINE.md)
+        "detail": {"seconds_per_step": round(dt, 3),
+                   "operating_point": f"{w}x{h}x{f}f bs1 {args.mode}",
+                   "platform": "tpu" if on_tpu else "cpu-smoke"},
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({"metric": "train_steps_per_sec", "value": 0.0,
+                          "unit": "steps/sec/chip", "vs_baseline": 0.0}))
