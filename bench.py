@@ -29,8 +29,16 @@ TARGET_MULTIPLIER = 2.0
 
 
 def run_bench():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the full-SVD generate() graph is a long
+    # compile over the remote TPU relay; cache it across bench invocations.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from svd_xtend_tpu.core.config import PipelineConfig
     from svd_xtend_tpu.diffusion.pipeline import SVDModels, generate, init_pipeline_params
@@ -48,8 +56,7 @@ def run_bench():
                              num_inference_steps=2, decode_chunk_size=2)
 
     rng = jax.random.PRNGKey(0)
-    params = init_pipeline_params(models, rng)
-    params = jax.tree.map(jax.device_put, params)
+    params = init_pipeline_params(models, rng)  # one jit, lands on device
     image = jax.random.uniform(jax.random.PRNGKey(1),
                                (1, cfg.height, cfg.width, 3)) * 2.0 - 1.0
 

@@ -63,10 +63,15 @@ class SVDModels:
         return EulerDiscreteScheduler(self.scheduler_config)
 
 
+@functools.partial(jax.jit, static_argnames=("models", "height", "width"))
 def init_pipeline_params(models: SVDModels, rng: Array,
                          height: int = 64, width: int = 64) -> dict:
     """Random-init parameter trees for all three models (for tests/bench;
-    real weights come from io.convert.load_diffusers_checkpoint)."""
+    real weights come from io.convert.load_diffusers_checkpoint).
+
+    One jit: flax ``init`` is otherwise eager and dispatches hundreds of tiny
+    op-by-op compiles, which is minutes of round-trips on a remote TPU relay.
+    """
     k1, k2, k3 = jax.random.split(rng, 3)
     f = 2
     unet_vars = models.unet().init(
