@@ -47,6 +47,27 @@ class Attention(nn.Module):
         ctx = x if context is None else context
         dense = lambda feat, name: nn.Dense(
             feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+
+        if context is not None and ctx.shape[-2] == 1:
+            # Single-key cross-attention (SVD: the one CLIP token): softmax
+            # over one key is identically 1, so the output is to_out(to_v(ctx))
+            # for EVERY query — bit-equal to full attention, with the q/k
+            # projections and score einsums (S x inner^2 work) elided. They
+            # are still invoked on one token so the param tree (and grads:
+            # exactly zero, as in the full computation) is unchanged.
+            _ = dense(inner, "to_q")(x[..., :1, :])
+            _ = dense(inner, "to_k")(ctx)
+            v = dense(inner, "to_v")(ctx)                   # (Bc, 1, inner)
+            out = dense(out_dim, "to_out")(v)               # (Bc, 1, out)
+            if out.shape[0] != x.shape[0]:
+                # context may carry one row per sample while queries carry
+                # B*S rows (temporal tokens are sample-major, ops/video.py)
+                rep = x.shape[0] // out.shape[0]
+                out = jnp.broadcast_to(
+                    out[:, None], (out.shape[0], rep, 1, out_dim),
+                ).reshape(x.shape[0], 1, out_dim)
+            return jnp.broadcast_to(out, x.shape[:-1] + (out_dim,))
+
         q = dense(inner, "to_q")(x)
         k = dense(inner, "to_k")(ctx)
         v = dense(inner, "to_v")(ctx)
@@ -179,8 +200,13 @@ class TransformerSpatioTemporalModel(nn.Module):
         # encoder state per batch element, repeated per spatial token
         ctx = encoder_hidden_states.reshape(b, f, -1, encoder_hidden_states.shape[-1])[:, 0]
         n_tok, d_cross = ctx.shape[-2], ctx.shape[-1]
-        time_context = jnp.broadcast_to(
-            ctx[:, None], (b, h * w, n_tok, d_cross)).reshape(b * h * w, n_tok, d_cross)
+        if n_tok == 1:
+            # 1-key cross-attn (Attention shortcut) broadcasts per spatial
+            # token itself — don't materialize the (B*H*W, 1, D) copy
+            time_context = ctx
+        else:
+            time_context = jnp.broadcast_to(
+                ctx[:, None], (b, h * w, n_tok, d_cross)).reshape(b * h * w, n_tok, d_cross)
 
         # sinusoidal frame-position embedding -> (1*F, 1, inner), broadcast over B
         frame_ids = jnp.arange(f, dtype=jnp.float32)
