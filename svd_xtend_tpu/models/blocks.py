@@ -34,6 +34,7 @@ class GroupNormSiLU(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     impl: str = "auto"
+    silu: bool = True      # False -> plain fused GroupNorm (no activation)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -44,7 +45,7 @@ class GroupNormSiLU(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
         return group_norm_silu(x, scale, bias, groups=self.groups,
-                               eps=self.eps, impl=self.impl)
+                               eps=self.eps, impl=self.impl, silu=self.silu)
 
 
 class AlphaBlender(nn.Module):

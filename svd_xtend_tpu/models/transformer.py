@@ -190,8 +190,10 @@ class TransformerSpatioTemporalModel(nn.Module):
         inner = self.num_heads * self.head_dim
         residual = x
 
-        x = nn.GroupNorm(num_groups=32, epsilon=self.norm_eps, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm")(x)
+        from .blocks import GroupNormSiLU
+        x = GroupNormSiLU(groups=32, eps=self.norm_eps, silu=False,
+                          dtype=self.dtype, param_dtype=self.param_dtype,
+                          name="norm")(x)
         tokens = spatial_tokens(x)
         tokens = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
                           name="proj_in")(tokens)

@@ -43,8 +43,9 @@ class VAEAttention(nn.Module):
         n, h, w, c = x.shape
         num_heads = max(1, c // self.head_dim)
         residual = x
-        xn = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="group_norm")(x)
+        xn = GroupNormSiLU(groups=32, eps=self.eps, silu=False,
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="group_norm")(x)
         tokens = xn.reshape(n, h * w, c)
         dense = lambda name: nn.Dense(c, dtype=self.dtype,
                                       param_dtype=self.param_dtype, name=name)

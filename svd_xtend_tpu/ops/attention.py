@@ -37,9 +37,10 @@ def _flash_ok(q: Array, k: Array) -> bool:
     if jax.default_backend() != "tpu":
         return False
     s, t, d = q.shape[1], k.shape[1], q.shape[3]
-    # flash pays off for long sequences (SVD spatial attention: 640-4608
-    # tokens, head_dim 64); needs 128-tile-aligned sequences
-    return s >= 512 and t >= 512 and s % 128 == 0 and t % 128 == 0 and d <= 128
+    # flash pays off for long sequences (measured on v5e at the SVD operating
+    # points: 2560 tokens 1.6x faster, 640 tokens slower than XLA — see
+    # scripts/microbench_ops.py); needs 128-tile-aligned sequences
+    return s >= 1024 and t >= 1024 and s % 128 == 0 and t % 128 == 0 and d <= 128
 
 
 def dot_product_attention(

@@ -34,7 +34,8 @@ _VMEM_BUDGET_BYTES = 80 * 1024 * 1024
 
 
 def group_norm_silu_reference(x: Array, scale: Array, bias: Array,
-                              groups: int, eps: float) -> Array:
+                              groups: int, eps: float,
+                              silu: bool = True) -> Array:
     """XLA reference: GN over all non-batch axes, then SiLU. x: (N, ..., C)."""
     n, c = x.shape[0], x.shape[-1]
     xf = x.astype(jnp.float32).reshape(n, -1, groups, c // groups)
@@ -42,11 +43,14 @@ def group_norm_silu_reference(x: Array, scale: Array, bias: Array,
     var = jnp.var(xf, axis=(1, 3), keepdims=True)
     norm = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
     out = norm * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return (out * jax.nn.sigmoid(out)).astype(x.dtype)
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    return out.astype(x.dtype)
 
 
 def _gn_silu_kernel(x_ref, scale_ref, bias_ref, member_ref, o_ref,
-                    *, groups: int, eps: float, group_size: int, seq: int):
+                    *, groups: int, eps: float, group_size: int, seq: int,
+                    silu: bool):
     # stats via MXU matmuls in the INPUT dtype with fp32 accumulation — no
     # full-size fp32 materialization (a bf16[28,640,1920] sample OOM'd the
     # 16M scoped-vmem default when upcast; see BENCH notes)
@@ -63,11 +67,120 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, member_ref, o_ref,
     mean_c = jax.lax.dot(mean_g, memberT, preferred_element_type=jnp.float32)
     inv_c = jax.lax.dot(inv_g, memberT, preferred_element_type=jnp.float32)
     out = (x.astype(jnp.float32) - mean_c) * inv_c * scale_ref[...] + bias_ref[...]
-    o_ref[0] = (out * jax.nn.sigmoid(out)).astype(o_ref.dtype)
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _stats_kernel(x_ref, member_ref, mean_ref, inv_ref, sum_scr, sq_scr,
+                  *, eps: float, denom: float, tiles: int):
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        sum_scr[...] = jnp.zeros_like(sum_scr)
+        sq_scr[...] = jnp.zeros_like(sq_scr)
+
+    x = x_ref[0]                                           # (tile, C)
+    member = member_ref[...].astype(x.dtype)               # (C, G) 0/1 exact
+    sum_scr[...] += jnp.sum(
+        jax.lax.dot(x, member, preferred_element_type=jnp.float32),
+        axis=0, keepdims=True)
+    sq_scr[...] += jnp.sum(
+        jax.lax.dot(x * x, member, preferred_element_type=jnp.float32),
+        axis=0, keepdims=True)
+
+    @pl.when(ti == tiles - 1)
+    def _finalize():
+        mean = sum_scr[...] / denom
+        var = sq_scr[...] / denom - mean * mean
+        mean_ref[0] = mean
+        inv_ref[0] = jax.lax.rsqrt(var + eps)
+
+
+def _norm_kernel(x_ref, scale_ref, bias_ref, member_ref, mean_ref, inv_ref,
+                 o_ref, *, silu: bool):
+    x = x_ref[0].astype(jnp.float32)                       # (tile, C)
+    memberT = member_ref[...].T                            # (G, C)
+    mean_c = jax.lax.dot(mean_ref[0], memberT,
+                         preferred_element_type=jnp.float32)   # (1, C)
+    inv_c = jax.lax.dot(inv_ref[0], memberT,
+                        preferred_element_type=jnp.float32)
+    out = (x - mean_c) * inv_c * scale_ref[...] + bias_ref[...]
+    if silu:
+        out = out * jax.nn.sigmoid(out)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _choose_tile(seq: int, c: int, dtype_bytes: int) -> int:
+    """Largest divisor of seq (multiple of 8) whose tile fits ~1/8 of VMEM."""
+    budget = _VMEM_BUDGET_BYTES // 8
+    best = 0
+    for t in range(8, seq + 1, 8):
+        if seq % t == 0 and t * c * (dtype_bytes + 4) <= budget:
+            best = t
+    return best
+
+
+def _pallas_tiled_forward(x: Array, scale: Array, bias: Array, groups: int,
+                          eps: float, tile: int, silu: bool = True) -> Array:
+    """Two-pass (stats, then normalize) kernel for samples too large for
+    VMEM: same 2R+1W HBM traffic as XLA's lowering but no fp32
+    materialization / re-layout copies, and the SiLU rides along free."""
+    n, c = x.shape[0], x.shape[-1]
+    seq = int(np.prod(x.shape[1:-1]))
+    x3 = x.reshape(n, seq, c)
+    tiles = seq // tile
+    member = jnp.asarray(
+        (np.arange(c) // (c // groups))[:, None] == np.arange(groups)[None, :],
+        jnp.float32)
+
+    mean_g, inv_g = pl.pallas_call(
+        functools.partial(_stats_kernel, eps=eps,
+                          denom=float(seq * (c // groups)), tiles=tiles),
+        grid=(n, tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, t: (i, t, 0)),
+            pl.BlockSpec((c, groups), lambda i, t: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, groups), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, groups), lambda i, t: (i, 0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n, 1, groups), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1, groups), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, groups), jnp.float32),
+                        pltpu.VMEM((1, groups), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(x3, member)
+
+    out = pl.pallas_call(
+        functools.partial(_norm_kernel, silu=silu),
+        grid=(n, tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, t: (i, t, 0)),
+            pl.BlockSpec((1, c), lambda i, t: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, t: (0, 0)),
+            pl.BlockSpec((c, groups), lambda i, t: (0, 0)),
+            pl.BlockSpec((1, 1, groups), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, 1, groups), lambda i, t: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda i, t: (i, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, seq, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(x3, scale.reshape(1, c).astype(jnp.float32),
+      bias.reshape(1, c).astype(jnp.float32), member, mean_g, inv_g)
+    return out.reshape(x.shape)
 
 
 def _pallas_forward(x: Array, scale: Array, bias: Array, groups: int,
-                    eps: float) -> Array:
+                    eps: float, silu: bool = True) -> Array:
     n, c = x.shape[0], x.shape[-1]
     seq = int(np.prod(x.shape[1:-1]))
     x3 = x.reshape(n, seq, c)
@@ -76,7 +189,7 @@ def _pallas_forward(x: Array, scale: Array, bias: Array, groups: int,
         jnp.float32)
     out = pl.pallas_call(
         functools.partial(_gn_silu_kernel, groups=groups, eps=eps,
-                          group_size=c // groups, seq=seq),
+                          group_size=c // groups, seq=seq, silu=silu),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, seq, c), lambda i: (i, 0, 0)),
@@ -95,19 +208,29 @@ def _pallas_forward(x: Array, scale: Array, bias: Array, groups: int,
     return out.reshape(x.shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _gn_silu(x, scale, bias, groups, eps):
-    return _pallas_forward(x, scale, bias, groups, eps)
+def _dispatch_forward(x, scale, bias, groups, eps, silu):
+    if fits_vmem(x.shape):
+        return _pallas_forward(x, scale, bias, groups, eps, silu)
+    tile = _choose_tile(int(np.prod(x.shape[1:-1])), x.shape[-1],
+                        x.dtype.itemsize)
+    if tile:
+        return _pallas_tiled_forward(x, scale, bias, groups, eps, tile, silu)
+    return group_norm_silu_reference(x, scale, bias, groups, eps, silu)
 
 
-def _gn_silu_fwd(x, scale, bias, groups, eps):
-    return _pallas_forward(x, scale, bias, groups, eps), (x, scale, bias)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_silu(x, scale, bias, groups, eps, silu):
+    return _dispatch_forward(x, scale, bias, groups, eps, silu)
 
 
-def _gn_silu_bwd(groups, eps, res, g):
+def _gn_silu_fwd(x, scale, bias, groups, eps, silu):
+    return _dispatch_forward(x, scale, bias, groups, eps, silu), (x, scale, bias)
+
+
+def _gn_silu_bwd(groups, eps, silu, res, g):
     x, scale, bias = res
     _, vjp = jax.vjp(
-        lambda x, s, b: group_norm_silu_reference(x, s, b, groups, eps),
+        lambda x, s, b: group_norm_silu_reference(x, s, b, groups, eps, silu),
         x, scale, bias)
     return vjp(g)
 
@@ -122,11 +245,11 @@ def fits_vmem(x_shape, dtype_bytes: int = 4) -> bool:
 
 
 def group_norm_silu(x: Array, scale: Array, bias: Array, *, groups: int = 32,
-                    eps: float = 1e-5, impl: str = "auto") -> Array:
-    """GroupNorm (stats over all non-batch dims) + affine + SiLU, fused."""
+                    eps: float = 1e-5, impl: str = "auto",
+                    silu: bool = True) -> Array:
+    """GroupNorm (stats over all non-batch dims) + affine (+ fused SiLU)."""
     if impl == "auto":
-        impl = "pallas" if (jax.default_backend() == "tpu"
-                            and fits_vmem(x.shape)) else "xla"
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        return _gn_silu(x, scale, bias, groups, eps)
-    return group_norm_silu_reference(x, scale, bias, groups, eps)
+        return _gn_silu(x, scale, bias, groups, eps, silu)
+    return group_norm_silu_reference(x, scale, bias, groups, eps, silu)
