@@ -78,6 +78,38 @@ class AlphaBlender(nn.Module):
         return alpha * x_spatial + (1.0 - alpha) * x_temporal
 
 
+class TemporalConv(nn.Module):
+    """(3, 1) conv over the frame axis of (B, F, S, C), SAME zero padding —
+    computed as THREE plain channel matmuls on frame-shifted views.
+
+    Param tree (kernel (3, 1, C_in, C_out), bias) is identical to the
+    ``nn.Conv`` it replaces, so checkpoints are unaffected. The matmul form
+    keeps activations in the standard (..., C) tiling — XLA's conv lowering
+    for a 14-tall image picks T(2,128) layouts and inserts ~1 ms relayout
+    fusions around every temporal conv (measured, scripts/microbench_ops.py).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 1, in_ch, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        prev = jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        nxt = jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        # output[f] = x[f-1] @ k[0] + x[f] @ k[1] + x[f+1] @ k[2] + b
+        return (prev @ kernel[0, 0] + x @ kernel[1, 0] + nxt @ kernel[2, 0]
+                + bias)
+
+
 class ResnetBlock2D(nn.Module):
     """GN -> SiLU -> conv3x3, add t-emb, GN -> SiLU -> conv3x3, skip.
 
@@ -133,8 +165,8 @@ class TemporalResnetBlock(nn.Module):
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
         b, f, hh, ww, c = x.shape
         xs = x.reshape(b, f, hh * ww, c)
-        conv = lambda name: nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
-                                    dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        conv = lambda name: TemporalConv(self.out_channels, dtype=self.dtype,
+                                         param_dtype=self.param_dtype, name=name)
         gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype, name=name)

@@ -127,8 +127,8 @@ class TemporalDecoder(nn.Module):
         # final temporal smoothing conv over frames: (B, F, S, C), kernel (3, 1)
         hh, ww = x.shape[1], x.shape[2]
         x = x.reshape(b, f, hh * ww, cfg.out_channels)
-        x = nn.Conv(cfg.out_channels, (3, 1), padding=((1, 1), (0, 0)),
-                    name="time_conv_out", **common)(x)
+        from .blocks import TemporalConv
+        x = TemporalConv(cfg.out_channels, name="time_conv_out", **common)(x)
         return x.reshape(b, f, hh, ww, cfg.out_channels)
 
 
