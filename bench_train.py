@@ -23,8 +23,14 @@ def main():
     p.add_argument("--steps", type=int, default=3)
     args = p.parse_args()
 
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from svd_xtend_tpu.core.config import TrainConfig
     from svd_xtend_tpu.diffusion.pipeline import SVDModels, init_pipeline_params
