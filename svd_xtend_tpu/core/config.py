@@ -222,6 +222,16 @@ class PipelineConfig(_JsonMixin):
     decode_chunk_size: int = 8
 
 
+# Named operating points (BASELINE.md): A = the README comparison grids
+# (reference README.md:17-20), NOTEBOOK = infer_svd.ipynb cell 2, XT = the
+# SVD-XT 25-frame decode config (BASELINE.json configs #4).
+OPERATING_POINT_A = PipelineConfig(height=320, width=512, num_frames=14,
+                                   noise_aug_strength=0.0)
+OPERATING_POINT_NOTEBOOK = PipelineConfig(height=576, width=1024, num_frames=14,
+                                          num_inference_steps=30, fps=8)
+OPERATING_POINT_XT = PipelineConfig(height=576, width=1024, num_frames=25)
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshConfig(_JsonMixin):
     """Device-mesh layout. axis sizes of -1 mean "fill with what's left"."""
