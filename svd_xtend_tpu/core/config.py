@@ -238,6 +238,8 @@ class MeshConfig(_JsonMixin):
 
     data: int = -1     # DP: batch sharding, ZeRO-1 optimizer-state sharding
     model: int = 1     # TP: attention heads / MLP channels
+    frames: int = 1    # SP: frame-axis sharding (temporal attention/convs
+                       # gathered by GSPMD collectives — SURVEY.md §2.5)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,15 +28,21 @@ from .config import MeshConfig
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+FRAMES_AXIS = "frames"    # sequence parallelism over the frame axis (SP)
 
 
 def create_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model = cfg.model if cfg.model > 0 else 1
-    data = cfg.data if cfg.data > 0 else n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    frames = getattr(cfg, "frames", 1) or 1
+    frames = frames if frames > 0 else 1
+    data = cfg.data if cfg.data > 0 else n // (model * frames)
+    if data * model * frames != n:
+        raise ValueError(f"mesh {data}x{model}x{frames} != {n} devices")
+    if frames > 1:
+        arr = np.asarray(devices).reshape(data, model, frames)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS, FRAMES_AXIS))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

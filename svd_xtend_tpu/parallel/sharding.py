@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import TrainConfig
-from ..core.mesh import DATA_AXIS, MODEL_AXIS, param_pspec
+from ..core.mesh import DATA_AXIS, FRAMES_AXIS, MODEL_AXIS, param_pspec
 from ..diffusion.pipeline import SVDModels
 from ..train.state import TrainState, make_train_step
 
@@ -53,9 +53,16 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
+    """Shard pixel batches (..., B, F, H, W, C): B over 'data' and, when the
+    mesh has a 'frames' axis, F over 'frames' (sequence parallelism — the
+    temporal attention/conv gathers are inserted by GSPMD)."""
+    sp = mesh.shape.get(FRAMES_AXIS, 1) > 1
+
     def place(x):
         spec = [None] * x.ndim
         spec[batch_axis] = DATA_AXIS
+        if sp and x.ndim > batch_axis + 1:
+            spec[batch_axis + 1] = FRAMES_AXIS
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
     return jax.tree.map(place, batch)
 

@@ -99,3 +99,38 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sp_frames_matches_single_device(setup):
+    """Frames-axis sequence parallelism (SURVEY.md §2.5 SP row): a (2, 1, 2)
+    dp x tp x sp mesh must reproduce the single-device loss — GSPMD inserts
+    the temporal-attention/conv gathers over the 'frames' axis."""
+    from svd_xtend_tpu.core.config import MeshConfig
+    from svd_xtend_tpu.core.mesh import FRAMES_AXIS, create_mesh
+
+    models, params = setup
+    cfg = TrainConfig(train_mode="temporal", learning_rate=1e-3,
+                      lr_scheduler="constant")
+    opt = make_optimizer(cfg)
+    batch = jax.random.uniform(jax.random.PRNGKey(7), (4, 2, 32, 32, 3)) * 2 - 1
+
+    def run(mesh):
+        unet0 = jax.tree.map(lambda x: x.copy(), params["unet"])
+        state = create_train_state(cfg, unet0, opt)
+        step, place_state, place_batch = make_sharded_train_step(
+            models, cfg, opt,
+            {"vae": params["vae"], "clip": params["clip"]}, mesh)
+        with mesh:
+            state = place_state(state)
+            b = place_batch(batch)
+            _, metrics = step(state, b, jax.random.PRNGKey(3))
+        return metrics
+
+    mesh_sp = create_mesh(MeshConfig(data=2, model=1, frames=2),
+                          jax.devices()[:4])
+    assert mesh_sp.shape[FRAMES_AXIS] == 2
+    m_sp = run(mesh_sp)
+    m_single = run(create_mesh(MeshConfig(data=1, model=1),
+                               jax.devices()[:1]))
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_single["loss"]),
+                               rtol=2e-4)
