@@ -66,7 +66,9 @@ def main():
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, batch, jax.random.PRNGKey(3))
-    float(jax.device_get(metrics["loss"]))          # sync (relay-safe)
+        # sync EVERY step: queuing a second multi-GB executable dispatch
+        # behind an in-flight one breaks the axon relay (broken pipe)
+        float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / args.steps
 
     print(json.dumps({
