@@ -33,11 +33,17 @@ except ImportError:  # pragma: no cover
 
 class FrameFolderDataset:
     def __init__(self, base_folder: str, width: int = 512, height: int = 320,
-                 sample_frames: int = 14, num_samples: int = 100_000):
+                 sample_frames: int = 14, num_samples: int = 100_000,
+                 use_native: bool = True):
         self.base_folder = base_folder
         self.width, self.height = width, height
         self.sample_frames = sample_frames
         self.num_samples = num_samples
+        # native C++ loader (native/frame_loader.cpp): threaded libjpeg
+        # decode + bilinear resize in one call. Documented delta vs the
+        # reference's PIL-bicubic resize; set use_native=False for the exact
+        # PIL path. Non-JPEG frames fall back to PIL automatically.
+        self.use_native = use_native
         self.videos: List[Tuple[str, List[str]]] = []
         for name in sorted(os.listdir(base_folder)):
             folder = os.path.join(base_folder, name)
@@ -66,8 +72,16 @@ class FrameFolderDataset:
     def load_window(self, vid: int, start: int) -> np.ndarray:
         """(F, H, W, 3) float32 in [-1, 1]."""
         folder, frames = self.videos[vid]
+        window = frames[start:start + self.sample_frames]
+        if self.use_native and all(f.lower().endswith((".jpg", ".jpeg"))
+                                   for f in window):
+            from .. import native
+            clip = native.load_clip([os.path.join(folder, f) for f in window],
+                                    self.width, self.height)
+            if clip is not None:
+                return clip
         out = np.empty((self.sample_frames, self.height, self.width, 3), np.float32)
-        for i, fname in enumerate(frames[start:start + self.sample_frames]):
+        for i, fname in enumerate(window):
             with Image.open(os.path.join(folder, fname)) as img:
                 img = img.convert("RGB").resize((self.width, self.height),
                                                 Image.Resampling.BICUBIC)
