@@ -55,10 +55,9 @@ def main():
     opt = make_optimizer(cfg)
     state = create_train_state(cfg, params["unet"], opt,
                                lora_rng=jax.random.PRNGKey(1))
-    # donation disabled: donated-alias re-dispatch of very large executables
-    # breaks the axon relay (broken pipe on the 2nd step) — see PERF.md
     step = jax.jit(make_train_step(models, cfg, opt,
-                                   {"vae": params["vae"], "clip": params["clip"]}))
+                                   {"vae": params["vae"], "clip": params["clip"]}),
+                   donate_argnums=(0,))
     batch = jax.random.uniform(jax.random.PRNGKey(2), (1, f, h, w, 3)) * 2 - 1
 
     state, metrics = step(state, batch, jax.random.PRNGKey(3))
