@@ -173,6 +173,14 @@ def generate(
     b = image.shape[0]
     f = cfg.num_frames
     ds = models.vae_config.downsample_factor
+    # latent resolution must survive the UNet's 2^(levels-1) downsampling
+    # (the reference has the same implicit constraint via diffusers blocks)
+    unet_div = ds * 2 ** (len(models.unet_config.block_out_channels) - 1)
+    if cfg.height % unet_div or cfg.width % unet_div:
+        raise ValueError(
+            f"height/width must be divisible by {unet_div} "
+            f"(VAE {ds}x downsample x UNet levels); got "
+            f"{cfg.width}x{cfg.height}")
     h8, w8 = cfg.height // ds, cfg.width // ds
     lat_c = models.vae_config.latent_channels
     k_cond, k_init = jax.random.split(rng)

@@ -47,6 +47,12 @@ def encode_batch(models: SVDModels, params: dict, pixel_values: Array,
     from ..models.clip import preprocess_for_clip
 
     b, f, h, w, _ = pixel_values.shape
+    unet_div = (models.vae_config.downsample_factor
+                * 2 ** (len(models.unet_config.block_out_channels) - 1))
+    if h % unet_div or w % unet_div:
+        raise ValueError(
+            f"train height/width must be divisible by {unet_div} "
+            f"(VAE downsample x UNet levels); got {w}x{h}")
     k_lat, k_aug, k_cond = jax.random.split(rng, 3)
     vae = models.vae()
     scaling = models.vae_config.scaling_factor
