@@ -143,10 +143,15 @@ def decode_latents_chunked(models: SVDModels, params: dict, latents: Array,
     """
     b, f, h, w, c = latents.shape
     z = latents / models.vae_config.scaling_factor
-    chunk = min(decode_chunk_size, f)
-    pad = (-f) % chunk
+    # equalized chunks: decode_chunk_size is a memory CAP (reference
+    # train_svd.py:1135); ceil-dividing into equal chunks respects it with
+    # minimal padding (f=14, cap 8 -> 2x7, zero pad; naive 8+pad(2) wastes
+    # 14% of decoder FLOPs)
+    cap = min(decode_chunk_size, f)
+    n_chunks = -(-f // cap)
+    chunk = -(-f // n_chunks)
+    pad = n_chunks * chunk - f
     z = jnp.pad(z, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
-    n_chunks = (f + pad) // chunk
     z = z.reshape(b, n_chunks, chunk, h, w, c).transpose(1, 0, 2, 3, 4, 5)
 
     vae = models.vae()
