@@ -52,3 +52,45 @@ def test_video_report_keys():
     assert set(rep) == {"clip_sim_mean", "clip_sim_last",
                         "temporal_consistency", "flicker"}
     assert all(np.isfinite(float(v)) for v in rep.values())
+
+
+def test_frechet_distance_identities():
+    from svd_xtend_tpu.utils.metrics import frechet_distance, gaussian_stats
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(512, 8)), jnp.float32)
+    mu, cov = gaussian_stats(x)
+    # identical distributions -> ~0
+    d0 = float(frechet_distance(mu, cov, mu, cov))
+    assert abs(d0) < 1e-2
+    # mean shift by delta -> distance ~= ||delta||^2
+    delta = jnp.arange(8, dtype=jnp.float32) * 0.5
+    d1 = float(frechet_distance(mu, cov, mu + delta, cov))
+    assert abs(d1 - float(jnp.sum(delta ** 2))) < 1e-2
+    # isotropic gaussians with different sigma: d = D*(s1-s2)^2
+    I = jnp.eye(8)
+    d2 = float(frechet_distance(jnp.zeros(8), I, jnp.zeros(8), 4.0 * I))
+    assert abs(d2 - 8.0 * (2.0 - 1.0) ** 2) < 1e-3
+
+
+def test_clip_fvd_separates_matched_vs_shifted():
+    from svd_xtend_tpu.core.config import TINY_CLIP
+    from svd_xtend_tpu.models.clip import CLIPVisionModelWithProjection
+    from svd_xtend_tpu.utils.metrics import clip_fvd
+    rng = jax.random.PRNGKey(0)
+    model = CLIPVisionModelWithProjection(TINY_CLIP)
+    params = model.init(rng, jnp.zeros((1, 28, 28, 3)))["params"]
+    real = jax.random.uniform(jax.random.PRNGKey(1), (6, 2, 28, 28, 3)) * 2 - 1
+    similar = real + 0.01 * jax.random.normal(jax.random.PRNGKey(2), real.shape)
+    far = jnp.clip(real * -0.2 + 0.5, -1, 1)
+    d_close = float(clip_fvd(params, TINY_CLIP, real, similar))
+    d_far = float(clip_fvd(params, TINY_CLIP, real, far))
+    assert d_close < d_far
+
+
+def test_estimate_motion_bucket_orders_by_motion():
+    from svd_xtend_tpu.utils.metrics import estimate_motion_bucket
+    still = jnp.zeros((1, 4, 8, 8, 3))
+    moving = jnp.stack([jnp.full((8, 8, 3), -1.0 + 0.5 * i) for i in range(4)])[None]
+    b_still = int(estimate_motion_bucket(still)[0])
+    b_move = int(estimate_motion_bucket(moving)[0])
+    assert b_still == 0 and b_move > b_still
