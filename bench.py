@@ -37,6 +37,10 @@ def run_bench():
     # Persistent compilation cache: the full-SVD generate() graph is a long
     # compile over the remote TPU relay; cache it across bench invocations.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize pins the relay platform; honor an explicit
+        # CPU request (smoke runs) — env var alone does not stick
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
