@@ -97,3 +97,28 @@ def make_sharded_train_step(
         return shard_batch(batch, mesh, batch_axis=batch_axis)
 
     return jitted, place_state, place_batch
+
+
+def make_sharded_generate(models: SVDModels, mesh: Mesh):
+    """Multi-chip inference: returns (generate_fn, place_params, place_images).
+
+    Batch shards over 'data' (throughput), params replicate (or TP-shard by
+    the name rules when the mesh has a model axis). The 'frames' axis is
+    honored for the latent video via GSPMD propagation from the image batch
+    sharding; collectives are inserted by XLA (SURVEY.md §2.5).
+    """
+    from ..core.config import PipelineConfig
+    from ..diffusion.pipeline import generate
+
+    def place_params(params):
+        return jax.tree.map(lambda x, s: jax.device_put(x, s), params,
+                            state_shardings(params, mesh))
+
+    def place_images(images):
+        return shard_batch(images, mesh, batch_axis=0)
+
+    def generate_fn(params, images, rng, config: "PipelineConfig", **kw):
+        with mesh:
+            return generate(models, params, images, rng, config, **kw)
+
+    return generate_fn, place_params, place_images
