@@ -220,6 +220,11 @@ class PipelineConfig(_JsonMixin):
     motion_bucket_id: int = 127
     noise_aug_strength: float = 0.02
     decode_chunk_size: int = 8
+    # approximate acceleration (OPT-IN; 1 = exact): recompute the CFG
+    # unconditional branch only every k-th Euler step and reuse it between —
+    # the uncond prediction drifts slowly across adjacent sigmas, so k=2/3
+    # trades a small guidance lag for ~25/33% less UNet work per video
+    uncond_reuse_interval: int = 1
 
 
 # Named operating points (BASELINE.md): A = the README comparison grids

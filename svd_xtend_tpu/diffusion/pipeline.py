@@ -218,20 +218,59 @@ def generate(
             box_mask = jnp.ones(boxes.shape[:3], jnp.float32)
         mask2 = jnp.concatenate([jnp.zeros_like(box_mask), box_mask], axis=0)
 
-    def step(latents, sig_pair):
-        sigma, sigma_next = sig_pair
+    def unet_out(x_in, t_b, ehs_, add_ids_, boxes_, mask_):
+        return unet.apply({"params": params["unet"]}, x_in.astype(models.dtype),
+                          t_b, ehs_, add_ids_, boxes_, mask_).astype(jnp.float32)
+
+    def cfg_pair(latents, sigma):
+        """(uncond, cond) UNet outputs as one stacked batch (exact path)."""
         x_in = jnp.concatenate([latents, latents], axis=0)
         x_in = scheduler.scale_model_input(x_in, sigma)
         x_in = jnp.concatenate([x_in, cond_lat2], axis=-1)   # 8-channel input
         t = jnp.broadcast_to(scheduler.timestep(sigma), (2 * b,))
-        out = unet.apply({"params": params["unet"]}, x_in.astype(models.dtype),
-                         t, ehs, add_ids2, boxes2, mask2).astype(jnp.float32)
+        out = unet_out(x_in, t, ehs, add_ids2, boxes2, mask2)
         uncond, cond = jnp.split(out, 2, axis=0)
-        model_out = uncond + guidance * (cond - uncond)
-        denoised = scheduler.denoised(model_out, latents, sigma)
-        return scheduler.step(latents, denoised, sigma, sigma_next), None
+        return uncond, cond
 
-    latents, _ = jax.lax.scan(step, latents, (sigmas[:-1], sigmas[1:]))
+    k_reuse = max(1, cfg.uncond_reuse_interval)
+    if k_reuse == 1:
+        def step(latents, sig_pair):
+            sigma, sigma_next = sig_pair
+            uncond, cond = cfg_pair(latents, sigma)
+            model_out = uncond + guidance * (cond - uncond)
+            denoised = scheduler.denoised(model_out, latents, sigma)
+            return scheduler.step(latents, denoised, sigma, sigma_next), None
+
+        latents, _ = jax.lax.scan(step, latents, (sigmas[:-1], sigmas[1:]))
+    else:
+        # CFG caching (PipelineConfig.uncond_reuse_interval): cond branch
+        # every step, uncond refreshed every k-th step and carried between
+        def cond_only(latents, sigma, cached_uncond):
+            x_in = scheduler.scale_model_input(latents, sigma)
+            x_in = jnp.concatenate([x_in, cond_lat2[b:]], axis=-1)
+            t = jnp.broadcast_to(scheduler.timestep(sigma), (b,))
+            out = unet_out(x_in, t, ehs[b:], add_ids2[b:],
+                           None if boxes2 is None else boxes2[b:],
+                           None if mask2 is None else mask2[b:])
+            return cached_uncond, out
+
+        def step(carry, xs):
+            latents, cached_uncond = carry
+            i, sigma, sigma_next = xs
+            uncond, cond = jax.lax.cond(
+                i % k_reuse == 0,
+                lambda: cfg_pair(latents, sigma),
+                lambda: cond_only(latents, sigma, cached_uncond))
+            model_out = uncond + guidance * (cond - uncond)
+            denoised = scheduler.denoised(model_out, latents, sigma)
+            nxt = scheduler.step(latents, denoised, sigma, sigma_next)
+            return (nxt, uncond), None
+
+        init = (latents, jnp.zeros_like(latents))
+        steps = sigmas.shape[0] - 1
+        (latents, _), _ = jax.lax.scan(
+            step, init,
+            (jnp.arange(steps), sigmas[:-1], sigmas[1:]))
     video = decode_latents_chunked(models, params, latents, cfg.decode_chunk_size)
     return jnp.clip(video, -1.0, 1.0)
 

@@ -68,3 +68,21 @@ def test_output_range_and_shape(setup):
     v = generate(models, params, image, jax.random.PRNGKey(0), CFG)
     assert v.shape == (1, 2, 32, 32, 3)
     assert float(v.min()) >= -1.0 and float(v.max()) <= 1.0
+
+
+def test_uncond_reuse_interval_1_is_exact_and_k2_runs(setup):
+    """CFG caching (PipelineConfig.uncond_reuse_interval): k=1 must be the
+    exact default path; k=2 runs, stays finite, and differs only mildly."""
+    import dataclasses
+
+    models, params, img = setup
+    cfg = PipelineConfig(height=32, width=32, num_frames=2,
+                         num_inference_steps=4, decode_chunk_size=2)
+    exact = generate(models, params, img, jax.random.PRNGKey(2), cfg)
+    k2 = generate(models, params, img, jax.random.PRNGKey(2),
+                  dataclasses.replace(cfg, uncond_reuse_interval=2))
+    assert bool(jnp.isfinite(k2).all())
+    assert k2.shape == exact.shape
+    # step 0 refreshes, so outputs correlate but are not identical
+    diff = float(jnp.mean(jnp.abs(k2 - exact)))
+    assert 0.0 < diff < 0.5
