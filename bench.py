@@ -79,6 +79,22 @@ def run_bench():
     dt = (time.perf_counter() - t0) / n_iters
 
     frames_per_sec = cfg.num_frames / dt
+
+    detail_extra = {}
+    if on_tpu:
+        # opt-in CFG-cache mode (PERF.md) reported alongside, never as headline
+        import dataclasses
+        cfg3 = dataclasses.replace(cfg, uncond_reuse_interval=3)
+        def run3(key):
+            out = generate(models, params, image, key, cfg3)
+            return float(jax.device_get(jnp.sum(out.astype(jnp.float32))))
+        run3(rng)
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            run3(jax.random.PRNGKey(i))
+        dt3 = (time.perf_counter() - t0) / n_iters
+        detail_extra["frames_per_sec_cfg_cache_k3"] = round(cfg.num_frames / dt3, 3)
+
     return {
         "metric": "img2vid_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 3),
@@ -90,6 +106,7 @@ def run_bench():
             "operating_point": f"{cfg.width}x{cfg.height}x{cfg.num_frames}f, "
                                f"{cfg.num_inference_steps} steps, CFG",
             "platform": "tpu" if on_tpu else "cpu-smoke",
+            **detail_extra,
         },
     }
 
