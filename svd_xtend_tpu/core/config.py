@@ -76,6 +76,10 @@ class UNetConfig(_JsonMixin):
     resnet_eps: float = 1e-5
     norm_eps: float = 1e-6        # GroupNorm inside transformer models
     dropout: float = 0.0
+    # feed-forward chunking over the token axis — the reference's
+    # enable_forward_chunking memory knob
+    # (src/unet_spatio_temporal_condition.py:328-355); 0 disables
+    ff_chunk_size: int = 0
     # Tracklet2Video (bbox-conditioned) branch: 0 disables (README.md:57-70)
     tracklet_dim: int = 0
     tracklet_heads: int = 8
@@ -271,6 +275,7 @@ class TrainConfig(_JsonMixin):
     adam_weight_decay: float = 1e-2
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
+    use_8bit_adam: bool = False         # blockwise-int8 Adam moments (train/quant.py)
     # EDM
     p_mean: float = 0.7
     p_std: float = 1.6

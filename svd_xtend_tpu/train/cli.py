@@ -65,6 +65,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--adam_weight_decay", type=float, default=1e-2)
     p.add_argument("--adam_epsilon", type=float, default=1e-8)
     p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="blockwise-int8 Adam moments (reference bitsandbytes "
+                        "AdamW8bit, train_svd.py:746-756)")
     p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--mixed_precision", choices=["no", "bf16"], default="bf16")
@@ -110,7 +113,7 @@ def build_train_config(args) -> TrainConfig:
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         adam_beta1=args.adam_beta1, adam_beta2=args.adam_beta2,
         adam_weight_decay=args.adam_weight_decay, adam_epsilon=args.adam_epsilon,
-        max_grad_norm=args.max_grad_norm,
+        max_grad_norm=args.max_grad_norm, use_8bit_adam=args.use_8bit_adam,
         conditioning_dropout_prob=args.conditioning_dropout_prob,
         train_mode=args.train_mode, lora_rank=args.rank, lora_alpha=args.rank,
         use_ema=args.use_ema, mixed_precision=args.mixed_precision,

@@ -4,9 +4,10 @@ Behavior contract: AdamW with the reference's betas/eps/weight-decay flags
 (train_svd.py:767-773) and the six named LR schedules of
 diffusers.optimization.get_scheduler (train_svd.py:396-399): linear, cosine,
 cosine_with_restarts, polynomial, constant, constant_with_warmup — all with
-`lr_warmup_steps` linear warmup. bitsandbytes 8-bit Adam has no TPU analog;
-bf16 optimizer-state quantization is a future lever (optax provides the same
-memory relief via `optax.adamw(mu_dtype=jnp.bfloat16)` — exposed here).
+`lr_warmup_steps` linear warmup. The reference's bitsandbytes 8-bit Adam
+(train_svd.py:746-756) maps to `quant.adamw_8bit` — blockwise-int8 moment
+storage (cfg.use_8bit_adam); `mu_dtype=jnp.bfloat16` is the lighter-touch
+alternative.
 """
 
 from __future__ import annotations
@@ -79,8 +80,14 @@ def make_optimizer(cfg: TrainConfig, num_processes: int = 1,
     chain = []
     if cfg.max_grad_norm and cfg.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
-    chain.append(optax.adamw(
-        learning_rate=schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-        eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay,
-        mu_dtype=mu_dtype))
+    if getattr(cfg, "use_8bit_adam", False):
+        from .quant import adamw_8bit
+        chain.append(adamw_8bit(
+            learning_rate=schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay))
+    else:
+        chain.append(optax.adamw(
+            learning_rate=schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay,
+            mu_dtype=mu_dtype))
     return optax.chain(*chain)

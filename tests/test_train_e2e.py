@@ -120,3 +120,29 @@ def test_cli_lora_export(frame_folder, tmp_path):
     from svd_xtend_tpu.io.convert import load_safetensors
     sd = load_safetensors(os.path.join(out, "pytorch_lora_weights.safetensors"))
     assert any("lora_A" in k for k in sd)
+
+
+def test_cli_full_8bit_adam_checkpoint_resume(frame_folder, tmp_path):
+    """Full-FT with blockwise-int8 Adam moments (--use_8bit_adam): trains,
+    checkpoints the quantized state through Orbax, and resumes."""
+    from svd_xtend_tpu.train import cli
+
+    out = str(tmp_path / "run8")
+    common = [
+        "--base_folder", frame_folder, "--tiny_model",
+        "--width", "32", "--height", "32", "--num_frames", "2",
+        "--train_mode", "full", "--use_8bit_adam",
+        "--learning_rate", "1e-3", "--lr_scheduler", "constant",
+        "--lr_warmup_steps", "0", "--output_dir", out,
+        "--checkpointing_steps", "2", "--validation_steps", "100",
+        "--mixed_precision", "no", "--remat", "none",
+        "--num_workers", "2", "--seed", "7",
+    ]
+    cli.main(common + ["--max_train_steps", "2"])
+    assert os.path.isdir(os.path.join(out, "checkpoint-2"))
+    with open(os.path.join(out, "logs", "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert any(np.isfinite(l["train_loss"]) for l in lines)
+    cli.main(common + ["--max_train_steps", "4",
+                       "--resume_from_checkpoint", "latest"])
+    assert os.path.isdir(os.path.join(out, "checkpoint-4"))
