@@ -3,9 +3,17 @@
 Behavior contract (SURVEY.md §2.2 TransformerSpatioTemporalModel): GN+proj-in
 over (b*f, h*w, c) tokens; per layer a spatial BasicTransformerBlock
 (self-attn over h*w tokens, cross-attn to the 1-token CLIP embedding, GEGLU
-feed-forward) followed by a TemporalBasicTransformerBlock over (b*h*w, f, c)
-tokens with a sinusoidal frame-position embedding, merged by an AlphaBlender
-with the sigmoid weighting the temporal branch; proj-out + residual.
+feed-forward) followed by a TemporalBasicTransformerBlock attending over the
+frame axis with a sinusoidal frame-position embedding, merged by an
+AlphaBlender with the sigmoid weighting the temporal branch; proj-out +
+residual.
+
+TPU-first delta vs the reference's (b*h*w, f, c) temporal-token view
+(src/unet_spatio_temporal_condition.py:418-425): the temporal block here runs
+on the (b, f, s, c) RESHAPE of the spatial tokens — LayerNorm/FF act on c
+regardless of layout and the f-axis attention contracts via (b, s)-batched
+einsums, so the reference's fold/unfold transpose churn (SURVEY.md §3.3
+"layout-churn the TPU build should fuse away") does not exist here at all.
 
 The trainable-scope selector of the reference matches parameter paths that
 contain 'temporal_transformer_block' (train_svd.py:758-766) — module names
@@ -21,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention, merge_heads, split_heads
-from ..ops.video import spatial_tokens, temporal_to_tokens, tokens_to_temporal
+from ..ops.video import spatial_tokens
 from .blocks import AlphaBlender
 from .embeddings import TimestepEmbedding, sinusoidal_embedding
 
@@ -77,12 +85,33 @@ class Attention(nn.Module):
         return dense(out_dim, "to_out")(merge_heads(o))
 
 
+class _GEGLUCore(nn.Module):
+    """The unchunked GEGLU computation; scope is shared with FeedForward so
+    its params live at FeedForward's own path (net_0_proj / net_2)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:
+        inner = self.dim * self.mult
+        h, gate = jnp.split(
+            nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="net_0_proj")(tokens), 2, axis=-1)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="net_2")(h * nn.gelu(gate))
+
+
 class FeedForward(nn.Module):
     """GEGLU feed-forward: Dense(2*4c) -> x * gelu(gate) -> Dense(c).
 
     `chunk_size` > 0 processes the token axis in chunks (the reference's
     enable_forward_chunking memory knob, src/unet_spatio_temporal_condition.py:328-355)
-    — the 8c-wide inner activation is never materialized for all tokens."""
+    — the 8c-wide inner activation is never materialized for all tokens. The
+    chunk loop is a lifted ``nn.scan`` (params broadcast), the flax-safe form
+    of ``lax.map`` over a module call."""
 
     dim: int
     mult: int = 4
@@ -92,23 +121,19 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        inner = self.dim * self.mult
-        proj_in = nn.Dense(inner * 2, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="net_0_proj")
-        proj_out = nn.Dense(self.dim, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="net_2")
-
-        def ff(tokens):
-            h, gate = jnp.split(proj_in(tokens), 2, axis=-1)
-            return proj_out(h * nn.gelu(gate))
-
+        core = _GEGLUCore(self.dim, self.mult, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="core")
+        nn.share_scope(self, core)
         s = x.shape[-2]
         if self.chunk_size <= 0 or s % self.chunk_size or s == self.chunk_size:
-            return ff(x)
+            return core(x)
         k = s // self.chunk_size
         xs = jnp.moveaxis(
             x.reshape(*x.shape[:-2], k, self.chunk_size, x.shape[-1]), -3, 0)
-        out = jax.lax.map(ff, xs)
+        scan = nn.scan(lambda mdl, carry, t: (carry, mdl(t)),
+                       variable_broadcast="params",
+                       split_rngs={"params": False})
+        _, out = scan(core, None, xs)
         return jnp.moveaxis(out, 0, -3).reshape(x.shape)
 
 
@@ -118,6 +143,7 @@ class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     attn_impl: str = "auto"
+    ff_chunk: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -130,20 +156,90 @@ class BasicTransformerBlock(nn.Module):
                                       param_dtype=self.param_dtype, name=name)
         x = x + attn("attn1")(ln("norm1")(x))
         x = x + attn("attn2")(ln("norm2")(x), context)
-        x = x + FeedForward(x.shape[-1], dtype=self.dtype,
+        x = x + FeedForward(x.shape[-1], chunk_size=self.ff_chunk, dtype=self.dtype,
                             param_dtype=self.param_dtype, name="ff")(ln("norm3")(x))
         return x
+
+
+class FrameAxisAttention(nn.Module):
+    """Attention over the frame axis of (B, F, S, C) — layout-preserving.
+
+    Mathematically identical to transposing to (B*S, F, C) temporal tokens
+    and running ``Attention`` (tests/test_models_blocks.py asserts this), but
+    the F-axis contraction is expressed as an einsum with (b, s) batch
+    dimensions, so the multi-MB transpose pair around every temporal block
+    disappears (measured ~0.15-0.45 ms per block at the SVD shapes,
+    scripts/microbench_temporal_layout.py). Child param names match
+    ``Attention`` (to_q/to_k/to_v/to_out — the reference's LoRA targets,
+    train_svd_lora.py:663) so checkpoints and LoRA targeting are unchanged.
+
+    F is tiny (<=25): the per-(b,s) attention matmuls are a fraction of one
+    MXU tile, so the plain einsum path is the right backend (no flash win).
+    """
+
+    num_heads: int
+    head_dim: int
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        b, f, s, c = x.shape
+        inner = self.num_heads * self.head_dim
+        out_dim = self.out_dim or c
+        scale = self.head_dim ** -0.5
+        dense = lambda feat, name: nn.Dense(
+            feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+
+        if context is not None and context.shape[-2] == 1:
+            # Single-key cross-attention (the one CLIP token): softmax over
+            # one key is identically 1 => output is to_out(to_v(ctx)) for
+            # every (frame, token) query — bit-equal to full attention. q/k
+            # run on one token so the param tree (and their exactly-zero
+            # grads) is unchanged.
+            _ = dense(inner, "to_q")(x[:, :1, :1])
+            _ = dense(inner, "to_k")(context)
+            v = dense(inner, "to_v")(context)             # (B, 1, inner)
+            out = dense(out_dim, "to_out")(v)             # (B, 1, out)
+            return jnp.broadcast_to(out[:, :, None, :], (b, f, s, out_dim))
+
+        q = dense(inner, "to_q")(x)
+        if context is None:
+            k = dense(inner, "to_k")(x)
+            v = dense(inner, "to_v")(x)
+            q = q.reshape(b, f, s, self.num_heads, self.head_dim)
+            k = k.reshape(b, f, s, self.num_heads, self.head_dim)
+            v = v.reshape(b, f, s, self.num_heads, self.head_dim)
+            logits = jnp.einsum("bfshd,bgshd->bshfg", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            o = jnp.einsum("bshfg,bgshd->bfshd", w, v)
+        else:
+            # multi-token context (B, N, D): every (f, s) query attends to it
+            n = context.shape[-2]
+            k = dense(inner, "to_k")(context).reshape(b, n, self.num_heads,
+                                                      self.head_dim)
+            v = dense(inner, "to_v")(context).reshape(b, n, self.num_heads,
+                                                      self.head_dim)
+            q = q.reshape(b, f, s, self.num_heads, self.head_dim)
+            logits = jnp.einsum("bfshd,bnhd->bfshn", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            o = jnp.einsum("bfshn,bnhd->bfshd", w, v)
+        return dense(out_dim, "to_out")(o.reshape(b, f, s, inner))
 
 
 class TemporalBasicTransformerBlock(nn.Module):
     """FF-in, self-attn over frames, cross-attn, FF — the temporal block.
 
-    Input: (B*S, F, C) temporal tokens. Sequence length F is tiny (<=25), so
-    the attention here stays on the plain XLA path (flash has no win at F=25;
-    the matmuls are already one MXU tile)."""
+    Input: (B, F, S, C) — the frame axis is attended over in place
+    (FrameAxisAttention); LayerNorm/FF act on C and are layout-agnostic, so
+    no temporal-token transpose exists anywhere in the block."""
 
     num_heads: int
     head_dim: int
+    ff_chunk: int = 0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -151,15 +247,16 @@ class TemporalBasicTransformerBlock(nn.Module):
     def __call__(self, x: Array, context: Array) -> Array:
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        param_dtype=self.param_dtype, name=name)
-        attn = lambda name: Attention(self.num_heads, self.head_dim, attn_impl="xla",
-                                      dtype=self.dtype, param_dtype=self.param_dtype,
-                                      name=name)
-        x = x + FeedForward(x.shape[-1], dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="ff_in")(ln("norm_in")(x))
+        attn = lambda name: FrameAxisAttention(
+            self.num_heads, self.head_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
+        ff = lambda name: FeedForward(x.shape[-1], chunk_size=self.ff_chunk,
+                                      dtype=self.dtype,
+                                      param_dtype=self.param_dtype, name=name)
+        x = x + ff("ff_in")(ln("norm_in")(x))
         x = x + attn("attn1")(ln("norm1")(x))
         x = x + attn("attn2")(ln("norm2")(x), context)
-        x = x + FeedForward(x.shape[-1], dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="ff")(ln("norm3")(x))
+        x = x + ff("ff")(ln("norm3")(x))
         return x
 
 
@@ -176,6 +273,7 @@ class TransformerSpatioTemporalModel(nn.Module):
     norm_eps: float = 1e-6
     num_frames: int = 25
     attn_impl: str = "auto"
+    ff_chunk: int = 0
     use_tracklet: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -199,16 +297,10 @@ class TransformerSpatioTemporalModel(nn.Module):
                           name="proj_in")(tokens)
 
         # cross-attn context for the temporal blocks: the first frame's
-        # encoder state per batch element, repeated per spatial token
-        ctx = encoder_hidden_states.reshape(b, f, -1, encoder_hidden_states.shape[-1])[:, 0]
-        n_tok, d_cross = ctx.shape[-2], ctx.shape[-1]
-        if n_tok == 1:
-            # 1-key cross-attn (Attention shortcut) broadcasts per spatial
-            # token itself — don't materialize the (B*H*W, 1, D) copy
-            time_context = ctx
-        else:
-            time_context = jnp.broadcast_to(
-                ctx[:, None], (b, h * w, n_tok, d_cross)).reshape(b * h * w, n_tok, d_cross)
+        # encoder state per batch element — FrameAxisAttention consumes the
+        # (B, N, D) tensor directly, no per-spatial-token copy in any case
+        time_context = encoder_hidden_states.reshape(
+            b, f, -1, encoder_hidden_states.shape[-1])[:, 0]
 
         # sinusoidal frame-position embedding -> (1*F, 1, inner), broadcast over B
         frame_ids = jnp.arange(f, dtype=jnp.float32)
@@ -222,6 +314,7 @@ class TransformerSpatioTemporalModel(nn.Module):
         for i in range(self.num_layers):
             tokens = BasicTransformerBlock(
                 self.num_heads, self.head_dim, attn_impl=self.attn_impl,
+                ff_chunk=self.ff_chunk,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"transformer_blocks_{i}",
             )(tokens, encoder_hidden_states)
@@ -231,14 +324,13 @@ class TransformerSpatioTemporalModel(nn.Module):
                     self.num_heads, self.head_dim, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"gated_attentions_{i}",
                 )(tokens, tracklet_tokens)
-            mix = tokens + emb
-            mix = tokens_to_temporal(mix, f)               # (B*HW, F, inner)
+            mix = (tokens + emb).reshape(b, f, h * w, inner)  # free reshape
             mix = TemporalBasicTransformerBlock(
-                self.num_heads, self.head_dim, dtype=self.dtype,
-                param_dtype=self.param_dtype,
+                self.num_heads, self.head_dim, ff_chunk=self.ff_chunk,
+                dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"temporal_transformer_blocks_{i}",
             )(mix, time_context)
-            mix = temporal_to_tokens(mix, f, h * w)        # (B*F, HW, inner)
+            mix = mix.reshape(bf, h * w, inner)               # free reshape
             tokens = time_mixer(tokens, mix, image_only_indicator)
 
         tokens = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,

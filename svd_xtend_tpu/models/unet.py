@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import UNetConfig
-from .blocks import Downsample2D, SpatioTemporalResBlock, Upsample2D
+from .blocks import Conv3x3, Downsample2D, SpatioTemporalResBlock, Upsample2D
 from .embeddings import TimestepEmbedding, sinusoidal_embedding
 from .transformer import TransformerSpatioTemporalModel
 
@@ -61,6 +61,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     add_downsample: bool = True
     resnet_eps: float = 1e-5
     attn_impl: str = "auto"
+    ff_chunk: int = 0
     use_tracklet: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -78,7 +79,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
             x = TransformerSpatioTemporalModel(
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,
-                use_tracklet=self.use_tracklet,
+                ff_chunk=self.ff_chunk, use_tracklet=self.use_tracklet,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
             )(x, ehs, indicator, tracklet_tokens)
             residuals.append(x)
@@ -97,6 +98,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
     num_layers: int = 1
     resnet_eps: float = 1e-5
     attn_impl: str = "auto"
+    ff_chunk: int = 0
     use_tracklet: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -113,7 +115,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
             x = TransformerSpatioTemporalModel(
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,
-                use_tracklet=self.use_tracklet,
+                ff_chunk=self.ff_chunk, use_tracklet=self.use_tracklet,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
             )(x, ehs, indicator, tracklet_tokens)
             x = res(i + 1)(x, temb, indicator)
@@ -153,6 +155,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     add_upsample: bool = True
     resnet_eps: float = 1e-5
     attn_impl: str = "auto"
+    ff_chunk: int = 0
     use_tracklet: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -171,7 +174,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
             x = TransformerSpatioTemporalModel(
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,
-                use_tracklet=self.use_tracklet,
+                ff_chunk=self.ff_chunk, use_tracklet=self.use_tracklet,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
             )(x, ehs, indicator, tracklet_tokens)
         if self.add_upsample:
@@ -227,8 +230,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 cfg.tracklet_dim, cfg.tracklet_heads, name="tracklet_conditioner",
                 **common)(boxes, box_mask, instance_ids)
 
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
-                    name="conv_in", **common)(x)
+        x = Conv3x3(cfg.block_out_channels[0], name="conv_in", **common)(x)
         residuals = [x]
 
         maybe_remat = (lambda cls: nn.remat(cls, static_argnums=())) if self.remat \
@@ -243,7 +245,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     cfg.num_attention_heads[i],
                     transformer_layers=cfg.transformer_layers_per_block[i],
                     add_downsample=not is_final, resnet_eps=cfg.resnet_eps,
-                    attn_impl=self.attn_impl, use_tracklet=use_tracklet,
+                    attn_impl=self.attn_impl, ff_chunk=cfg.ff_chunk_size,
+                    use_tracklet=use_tracklet,
                     name=f"down_blocks_{i}", **common,
                 )(x, emb_f, ehs_f, indicator, tracklet_tokens)
             elif block_type == "DownBlockSpatioTemporal":
@@ -261,6 +264,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             cfg.block_out_channels[-1], f, cfg.num_attention_heads[-1],
             transformer_layers=cfg.transformer_layers_per_block[-1],
             resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
+            ff_chunk=cfg.ff_chunk_size,
             use_tracklet=use_tracklet, name="mid_block", **common,
         )(x, emb_f, ehs_f, indicator, tracklet_tokens)
 
@@ -278,6 +282,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     rev_channels[i], n_res_up, f, rev_heads[i],
                     transformer_layers=rev_tlayers[i], add_upsample=not is_final,
                     resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
+                    ff_chunk=cfg.ff_chunk_size,
                     use_tracklet=use_tracklet, name=f"up_blocks_{i}", **common,
                 )(x, skips, emb_f, ehs_f, indicator, tracklet_tokens)
             elif block_type == "UpBlockSpatioTemporal":
@@ -292,5 +297,5 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         from .blocks import GroupNormSiLU
         x = GroupNormSiLU(groups=32, eps=cfg.resnet_eps, name="conv_norm_out",
                           **common)(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(x)
+        x = Conv3x3(cfg.out_channels, name="conv_out", **common)(x)
         return x.reshape(b, f, h, w, cfg.out_channels)

@@ -143,6 +143,70 @@ def test_basic_transformer_blocks_shapes():
     m = BasicTransformerBlock(num_heads=2, head_dim=16)
     p = m.init(jax.random.PRNGKey(2), x, ctx)
     assert m.apply(p, x, ctx).shape == x.shape
+    xt = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 10, 32))  # (B,F,S,C)
+    ctx_t = jax.random.normal(jax.random.PRNGKey(5), (2, 1, 24))
     mt = TemporalBasicTransformerBlock(num_heads=2, head_dim=16)
-    pt = mt.init(jax.random.PRNGKey(3), x, ctx)
-    assert mt.apply(pt, x, ctx).shape == x.shape
+    pt = mt.init(jax.random.PRNGKey(3), xt, ctx_t)
+    assert mt.apply(pt, xt, ctx_t).shape == xt.shape
+
+
+def test_frame_axis_attention_equals_transposed_attention():
+    """FrameAxisAttention on (B,F,S,C) must match Attention on the
+    (B*S, F, C) temporal-token transpose bit-for-bit in fp32 — the layout
+    change is a pure re-indexing (same params: child names are identical)."""
+    from svd_xtend_tpu.models.transformer import Attention, FrameAxisAttention
+    from svd_xtend_tpu.ops.video import temporal_to_tokens, tokens_to_temporal
+
+    b, f, s, c = 2, 5, 12, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, s, c))
+    fa = FrameAxisAttention(num_heads=2, head_dim=16)
+    params = fa.init(jax.random.PRNGKey(1), x)
+    ref = Attention(num_heads=2, head_dim=16, attn_impl="xla")
+
+    # self-attention over frames
+    ours = fa.apply(params, x)
+    toks = tokens_to_temporal(x.reshape(b * f, s, c), f)       # (B*S, F, C)
+    theirs = temporal_to_tokens(ref.apply(params, toks), f, s).reshape(b, f, s, c)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs),
+                               rtol=2e-5, atol=2e-5)
+
+    # multi-token cross-attention
+    n = 4
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (b, n, 24))
+    pc = fa.init(jax.random.PRNGKey(3), x, ctx)
+    ours = fa.apply(pc, x, ctx)
+    ctx_rep = jnp.broadcast_to(ctx[:, None], (b, s, n, 24)).reshape(b * s, n, 24)
+    theirs = temporal_to_tokens(
+        ref.apply(pc, toks, ctx_rep), f, s).reshape(b, f, s, c)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs),
+                               rtol=2e-5, atol=2e-5)
+
+    # 1-key cross-attention shortcut
+    ctx1 = jax.random.normal(jax.random.PRNGKey(4), (b, 1, 24))
+    p1 = fa.init(jax.random.PRNGKey(5), x, ctx1)
+    ours = fa.apply(p1, x, ctx1)
+    ctx1_rep = jnp.broadcast_to(ctx1[:, None], (b, s, 1, 24)).reshape(b * s, 1, 24)
+    theirs = temporal_to_tokens(
+        ref.apply(p1, toks, ctx1_rep), f, s).reshape(b, f, s, c)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_feedforward_chunking_matches_unchunked():
+    """FF chunking (reference enable_forward_chunking) is exact and keeps the
+    param tree; works on 3D spatial tokens and 4D (B,F,S,C) temporal maps."""
+    from svd_xtend_tpu.models.transformer import FeedForward
+
+    x4 = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 16, 8))
+    ffc = FeedForward(8, chunk_size=4)
+    p = ffc.init(jax.random.PRNGKey(1), x4)
+    assert set(p["params"].keys()) == {"net_0_proj", "net_2"}
+    ff0 = FeedForward(8, chunk_size=0)
+    np.testing.assert_allclose(np.asarray(ffc.apply(p, x4)),
+                               np.asarray(ff0.apply(p, x4)), atol=1e-6)
+    x3 = x4.reshape(6, 16, 8)
+    np.testing.assert_allclose(np.asarray(ffc.apply(p, x3)),
+                               np.asarray(ff0.apply(p, x3)), atol=1e-6)
+    # gradients flow through the lifted scan
+    g = jax.grad(lambda p: float(0) + jnp.sum(ffc.apply(p, x4) ** 2))(p)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
