@@ -48,6 +48,38 @@ class GroupNormSiLU(nn.Module):
                                eps=self.eps, impl=self.impl, silu=self.silu)
 
 
+class Conv3x3(nn.Module):
+    """3x3 stride-1 SAME conv with shape-dependent dispatch: the plain XLA
+    conv for batch-heavy/small-spatial inputs, the halo-tiled form
+    (ops/conv_tiled.py) in the measured slow regime (large spatial extent —
+    the VAE's upper levels). Bit-identical either way; param names
+    (kernel/bias) match the nn.Conv it replaces."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops.conv_tiled import _TILE_H, _TILE_W, conv3x3_tiled, should_tile
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        h, w = x.shape[1], x.shape[2]
+        if should_tile(h, w) and h % _TILE_H == 0 and w % _TILE_W == 0:
+            return conv3x3_tiled(x, kernel, bias)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        return y + bias
+
+
 class AlphaBlender(nn.Module):
     """Learnable scalar blend: a*spatial + (1-a)*temporal, a = sigmoid(mix).
 
@@ -126,8 +158,8 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x: Array, temb: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         in_ch = x.shape[-1]
-        conv = lambda name: nn.Conv(self.out_channels, (3, 3), padding=1,
-                                    dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        conv = lambda name: Conv3x3(self.out_channels, dtype=self.dtype,
+                                    param_dtype=self.param_dtype, name=name)
         gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype, name=name)
@@ -232,8 +264,9 @@ class Downsample2D(nn.Module):
                        dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
 
 
-class Upsample2D(nn.Module):
-    """Nearest 2x upsample + 3x3 conv."""
+class _FusedUpConv(nn.Module):
+    """Holds the (3,3,Ci,Co) kernel + bias under the same names nn.Conv would
+    use, but applies them via the fused parity decomposition."""
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
@@ -241,7 +274,36 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        n, h, w, c = x.shape
+        from ..ops.upsample import fused_enabled, upsample2x_conv3x3
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.out_channels), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,),
+                          self.param_dtype)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if fused_enabled():
+            return upsample2x_conv3x3(x, kernel, bias)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="conv")(x)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        return y + bias
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x upsample + 3x3 conv, computed as four parity 2x2 convs at
+    the ORIGINAL resolution (ops/upsample.py): 2.25x fewer FLOPs and no 4x
+    HBM intermediate, numerically identical. Param tree (conv/kernel 3x3,
+    conv/bias) matches the naive form, so checkpoints are unaffected."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return _FusedUpConv(self.out_channels, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="conv")(x)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..core.config import VAEConfig
 from ..ops.attention import dot_product_attention
-from .blocks import (Downsample2D, GroupNormSiLU, ResnetBlock2D,
+from .blocks import (Conv3x3, Downsample2D, GroupNormSiLU, ResnetBlock2D,
                      SpatioTemporalResBlock, Upsample2D)
 
 Array = jax.Array
@@ -69,8 +69,7 @@ class Encoder(nn.Module):
     def __call__(self, x: Array) -> Array:
         cfg = self.config
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
-                    name="conv_in", **common)(x)
+        x = Conv3x3(cfg.block_out_channels[0], name="conv_in", **common)(x)
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock2D(ch, eps=cfg.norm_eps,
@@ -84,8 +83,7 @@ class Encoder(nn.Module):
         x = ResnetBlock2D(ch, eps=cfg.norm_eps, name="mid_resnets_1", **common)(x)
         x = GroupNormSiLU(groups=32, eps=cfg.norm_eps,
                           name="conv_norm_out", **common)(x)
-        return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
-                       name="conv_out", **common)(x)
+        return Conv3x3(2 * cfg.latent_channels, name="conv_out", **common)(x)
 
 
 class TemporalDecoder(nn.Module):
@@ -103,7 +101,7 @@ class TemporalDecoder(nn.Module):
         b, f, h, w, _ = z.shape
         x = z.reshape(b * f, h, w, z.shape[-1])
         ch_top = cfg.block_out_channels[-1]
-        x = nn.Conv(ch_top, (3, 3), padding=1, name="conv_in", **common)(x)
+        x = Conv3x3(ch_top, name="conv_in", **common)(x)
 
         st_res = lambda ch, name: SpatioTemporalResBlock(
             ch, f, eps=cfg.norm_eps, temporal_eps=1e-5, merge_factor=0.0,
@@ -122,7 +120,7 @@ class TemporalDecoder(nn.Module):
 
         x = GroupNormSiLU(groups=32, eps=cfg.norm_eps,
                           name="conv_norm_out", **common)(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", **common)(x)
+        x = Conv3x3(cfg.out_channels, name="conv_out", **common)(x)
 
         # final temporal smoothing conv over frames: (B, F, S, C), kernel (3, 1)
         hh, ww = x.shape[1], x.shape[2]

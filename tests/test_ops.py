@@ -101,3 +101,78 @@ def test_resize_antialiased_matches_torch(in_hw, out_hw):
     got = resize_antialiased(jnp.asarray(x.transpose(0, 2, 3, 1)), out_hw)
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-4)
+
+
+def test_upsample2x_conv3x3_matches_naive():
+    """ops/upsample.py parity decomposition == conv3x3(nearest_upsample(x))."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from svd_xtend_tpu.ops.upsample import upsample2x_conv3x3
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (2, 5, 7, 6), jnp.float32)
+    kernel = jax.random.normal(k2, (3, 3, 6, 4)) * 0.2
+    bias = jax.random.normal(k3, (4,)) * 0.1
+
+    x_up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    dn = lax.conv_dimension_numbers(x_up.shape, kernel.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    ref = lax.conv_general_dilated(x_up, kernel, (1, 1),
+                                   ((1, 1), (1, 1)), dimension_numbers=dn) + bias
+    out = upsample2x_conv3x3(x, kernel, bias)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients flow and match
+    f_ours = lambda k: jnp.sum(upsample2x_conv3x3(x, k, bias) ** 2)
+    f_ref = lambda k: jnp.sum((lax.conv_general_dilated(
+        x_up, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) + bias) ** 2)
+    g_ours = jax.grad(f_ours)(kernel)
+    g_ref = jax.grad(f_ref)(kernel)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_tiled_matches_direct():
+    """Halo-tiled conv (ops/conv_tiled.py) == direct SAME conv, any tile."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from svd_xtend_tpu.ops.conv_tiled import conv3x3_tiled
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(k1, (2, 8, 12, 5))
+    k = jax.random.normal(k2, (3, 3, 5, 7)) * 0.3
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = lax.conv_general_dilated(x, k, (1, 1), ((1, 1), (1, 1)),
+                                   dimension_numbers=dn)
+    for tile in [(4, 4), (2, 6), (8, 12), (4, 12)]:
+        out = conv3x3_tiled(x, k, tile=tile)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+    # gradients match too (both kernel and input cotangents)
+    g1 = jax.grad(lambda k: jnp.sum(conv3x3_tiled(x, k, tile=(4, 6)) ** 2))(k)
+    g2 = jax.grad(lambda k: jnp.sum((lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)) ** 2))(k)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_module_matches_nn_conv():
+    """models.blocks.Conv3x3 == nn.Conv(3x3, SAME) with the same params."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from svd_xtend_tpu.models.blocks import Conv3x3
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 6, 4))
+    m = Conv3x3(8)
+    p = m.init(jax.random.PRNGKey(1), x)
+    assert set(p["params"].keys()) == {"kernel", "bias"}
+    assert p["params"]["kernel"].shape == (3, 3, 4, 8)
+    ref = nn.Conv(8, (3, 3), padding=1)
+    np.testing.assert_allclose(np.asarray(m.apply(p, x)),
+                               np.asarray(ref.apply(p, x)),
+                               rtol=1e-5, atol=1e-5)
