@@ -49,11 +49,15 @@ class GroupNormSiLU(nn.Module):
 
 
 class Conv3x3(nn.Module):
-    """3x3 stride-1 SAME conv with shape-dependent dispatch: the plain XLA
-    conv for batch-heavy/small-spatial inputs, the halo-tiled form
-    (ops/conv_tiled.py) in the measured slow regime (large spatial extent —
-    the VAE's upper levels). Bit-identical either way; param names
-    (kernel/bias) match the nn.Conv it replaces."""
+    """3x3 stride-1 SAME conv with implementation dispatch. Param names
+    (kernel/bias) match the nn.Conv it replaces; every path is numerically
+    a plain SAME conv.
+
+    On TPU the Pallas implicit-GEMM kernel (ops/pallas/conv3x3.py) is used
+    at the shapes where it measured faster than XLA's conv lowering
+    (conv3x3_pallas_wins: lane-aligned or tiny Cin, Co >= 128 — 1.1-1.8x at
+    those shapes; see PERF.md). SVDX_PALLAS_CONV=0 disables it; the
+    halo-tiled XLA form (ops/conv_tiled.py) remains a separate opt-in."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
@@ -61,6 +65,8 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        import os
+
         from ..ops.conv_tiled import _TILE_H, _TILE_W, conv3x3_tiled, should_tile
         in_ch = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -70,6 +76,13 @@ class Conv3x3(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         h, w = x.shape[1], x.shape[2]
+        if (jax.default_backend() == "tpu" and w % 8 == 0
+                and os.environ.get("SVDX_PALLAS_CONV", "1") != "0"):
+            from ..ops.pallas.conv3x3 import (conv3x3_pallas,
+                                              conv3x3_pallas_wins)
+            if conv3x3_pallas_wins(x.shape, self.features,
+                                   jnp.dtype(x.dtype).itemsize):
+                return conv3x3_pallas(x, kernel, bias)
         if should_tile(h, w) and h % _TILE_H == 0 and w % _TILE_W == 0:
             return conv3x3_tiled(x, kernel, bias)
         dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,

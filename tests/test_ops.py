@@ -176,3 +176,64 @@ def test_conv3x3_module_matches_nn_conv():
     np.testing.assert_allclose(np.asarray(m.apply(p, x)),
                                np.asarray(ref.apply(p, x)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_pallas_matches_lax_conv():
+    """Pallas implicit-GEMM conv (interpret mode on CPU): forward and all
+    three gradients must match lax.conv_general_dilated."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from svd_xtend_tpu.ops.pallas.conv3x3 import conv3x3_pallas
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 4)
+
+    def ref(x, k, b):
+        dn = lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) + b
+
+    for (n, h, w, ci, co, band, bco) in [
+            (2, 8, 16, 12, 20, 4, 0), (1, 5, 8, 7, 9, 5, 0),
+            (2, 12, 8, 4, 6, 0, 0), (1, 8, 8, 6, 12, 4, 4)]:
+        x = jax.random.normal(k1, (n, h, w, ci), jnp.float32)
+        k = jax.random.normal(k2, (3, 3, ci, co)) * 0.2
+        b = jax.random.normal(k3, (co,)) * 0.1
+        out = conv3x3_pallas(x, k, b, band=band, bco=bco)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, k, b)),
+                                   rtol=1e-4, atol=1e-4)
+        dy = jax.random.normal(k4, out.shape)
+        g1 = jax.grad(lambda *a: jnp.sum(conv3x3_pallas(*a, band=band,
+                                                        bco=bco) * dy),
+                      argnums=(0, 1, 2))(x, k, b)
+        g2 = jax.grad(lambda *a: jnp.sum(ref(*a) * dy),
+                      argnums=(0, 1, 2))(x, k, b)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_conv3x3_pallas_tile_picker_legality():
+    """_pick_tiles must only emit Mosaic-legal Co blocks (lane-aligned or
+    full) — sub-128 non-spanning tiles compile-fail on TPU — and the
+    dispatch rule must reject shapes measured slower than XLA."""
+    from svd_xtend_tpu.ops.pallas.conv3x3 import (_pick_tiles,
+                                                  conv3x3_pallas_wins)
+
+    for (h, w, ci, co) in [(18, 32, 1920, 1280), (72, 128, 960, 320),
+                           (72, 128, 320, 320), (36, 64, 640, 640),
+                           (576, 1024, 256, 128), (9, 16, 1280, 1280)]:
+        ci_p = -(-ci // 128) * 128
+        tiles = _pick_tiles(h, w, ci_p, co, 2)
+        if tiles is not None:
+            _, bco = tiles
+            assert bco % 128 == 0 or bco == co, (h, w, ci, co, bco)
+    # measured winners stay on
+    assert conv3x3_pallas_wins((28, 36, 64, 640), 640)
+    assert conv3x3_pallas_wins((28, 72, 128, 8), 320)
+    assert conv3x3_pallas_wins((7, 576, 1024, 256), 128)
+    # measured losers (padded Cin / tiny Co) dispatch to XLA
+    assert not conv3x3_pallas_wins((28, 72, 128, 320), 320)
+    assert not conv3x3_pallas_wins((28, 72, 128, 320), 4)
+    assert not conv3x3_pallas_wins((7, 576, 1024, 128), 3)
