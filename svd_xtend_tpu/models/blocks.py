@@ -39,34 +39,63 @@ class GroupNormSiLU(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        from ..ops.pallas.groupnorm import group_norm_silu
+    def __call__(self, x: Array, fold_only: bool = False):
+        from ..ops.pallas.groupnorm import group_norm_fold, group_norm_silu
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        if fold_only:
+            # stats-only form: per-(sample, channel) f32 (sc, sh) for a
+            # consumer that fuses the normalize (+SiLU) into its input read
+            return group_norm_fold(x, scale, bias, groups=self.groups,
+                                   eps=self.eps)
         return group_norm_silu(x, scale, bias, groups=self.groups,
                                eps=self.eps, impl=self.impl, silu=self.silu)
 
 
+def pallas_conv_dispatch(x_shape, features: int, itemsize: int,
+                         with_res: bool = False) -> bool:
+    """True when Conv3x3 will take the Pallas implicit-GEMM path for this
+    shape. SVDX_PALLAS_CONV: "0" disables, "force" enables off-TPU (interpret
+    mode, for tests), default auto (TPU + measured-win shapes only)."""
+    import os
+
+    mode = os.environ.get("SVDX_PALLAS_CONV", "1")
+    if mode == "0" or x_shape[2] % 8 != 0:
+        return False
+    if jax.default_backend() != "tpu" and mode != "force":
+        return False
+    from ..ops.pallas.conv3x3 import conv3x3_pallas_wins
+    return conv3x3_pallas_wins(x_shape, features, itemsize, with_res)
+
+
 class Conv3x3(nn.Module):
-    """3x3 stride-1 SAME conv with implementation dispatch. Param names
-    (kernel/bias) match the nn.Conv it replaces; every path is numerically
-    a plain SAME conv.
+    """3x3 stride-1 SAME conv with implementation dispatch and optional
+    fused epilogues. Param names (kernel/bias) match the nn.Conv it
+    replaces; every path is numerically
+    `conv3x3_fused_reference` (ops/pallas/conv3x3.py) — a plain SAME conv
+    when no epilogue is given.
 
     On TPU the Pallas implicit-GEMM kernel (ops/pallas/conv3x3.py) is used
     at the shapes where it measured faster than XLA's conv lowering
     (conv3x3_pallas_wins: lane-aligned or tiny Cin, Co >= 128 — 1.1-1.8x at
     those shapes; see PERF.md). SVDX_PALLAS_CONV=0 disables it; the
-    halo-tiled XLA form (ops/conv_tiled.py) remains a separate opt-in."""
+    halo-tiled XLA form (ops/conv_tiled.py) remains a separate opt-in.
+
+    Epilogues (the resnet fusion surface — see ResnetBlock2D):
+      pre=(sc, sh, silu): per-(N, Cin) input affine (+SiLU) — a folded
+        GroupNorm-normalize — fused into the kernel's input read on the
+        Pallas path, applied as plain XLA ops otherwise;
+      post_shift: (N, Co) added to the output (time-embedding add);
+      residual: (N, H, W, Co) added to the output (skip connection)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        import os
-
+    def __call__(self, x: Array, pre=None, post_shift: Optional[Array] = None,
+                 residual: Optional[Array] = None) -> Array:
         from ..ops.conv_tiled import _TILE_H, _TILE_W, conv3x3_tiled, should_tile
         in_ch = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -76,21 +105,38 @@ class Conv3x3(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         h, w = x.shape[1], x.shape[2]
-        if (jax.default_backend() == "tpu" and w % 8 == 0
-                and os.environ.get("SVDX_PALLAS_CONV", "1") != "0"):
-            from ..ops.pallas.conv3x3 import (conv3x3_pallas,
-                                              conv3x3_pallas_wins)
-            if conv3x3_pallas_wins(x.shape, self.features,
-                                   jnp.dtype(x.dtype).itemsize):
-                return conv3x3_pallas(x, kernel, bias)
-        if should_tile(h, w) and h % _TILE_H == 0 and w % _TILE_W == 0:
+        if pallas_conv_dispatch(x.shape, self.features,
+                                jnp.dtype(x.dtype).itemsize,
+                                with_res=residual is not None):
+            from ..ops.pallas.conv3x3 import conv3x3_pallas
+            kw = {}
+            if pre is not None:
+                kw = dict(pre_scale=pre[0], pre_shift=pre[1],
+                          pre_silu=bool(pre[2]))
+            return conv3x3_pallas(x, kernel, bias, post_shift=post_shift,
+                                  residual=residual, **kw)
+        if pre is not None:
+            sc, sh, do_silu = pre
+            xv = (x.astype(jnp.float32) * sc[:, None, None, :].astype(jnp.float32)
+                  + sh[:, None, None, :].astype(jnp.float32))
+            if do_silu:
+                xv = xv * jax.nn.sigmoid(xv)
+            x = xv.astype(x.dtype)
+        if (should_tile(h, w) and h % _TILE_H == 0 and w % _TILE_W == 0
+                and post_shift is None and residual is None):
             return conv3x3_tiled(x, kernel, bias)
-        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
-            x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
-            preferred_element_type=jnp.float32).astype(x.dtype)
-        return y + bias
+        else:
+            dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            y = y + bias
+        if post_shift is not None:
+            y = y + post_shift[:, None, None, :].astype(y.dtype)
+        if residual is not None:
+            y = y + residual
+        return y
 
 
 class AlphaBlender(nn.Module):
@@ -158,7 +204,12 @@ class TemporalConv(nn.Module):
 class ResnetBlock2D(nn.Module):
     """GN -> SiLU -> conv3x3, add t-emb, GN -> SiLU -> conv3x3, skip.
 
-    Operates on (N, H, W, C)."""
+    Operates on (N, H, W, C). On the Pallas-conv shapes the GN-normalize+SiLU
+    is folded into the conv's input read, the t-emb add into conv1's
+    accumulator, and the skip add into conv2's output (all epilogues of
+    ops/pallas/conv3x3.py) — only the GN stats reduces touch the activations
+    separately. Numerics contract: conv3x3_fused_reference; the unfused path
+    is taken off-TPU, when dropout is active, or at non-winning shapes."""
 
     out_channels: int
     eps: float = 1e-5
@@ -171,25 +222,42 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x: Array, temb: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         in_ch = x.shape[-1]
+        itemsize = jnp.dtype(self.dtype).itemsize
         conv = lambda name: Conv3x3(self.out_channels, dtype=self.dtype,
                                     param_dtype=self.param_dtype, name=name)
         gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype, name=name)
-        h = gns("norm1")(x)
-        h = conv("conv1")(h)
+        t = None
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
-            h = h + t[:, None, None, :]
+        if pallas_conv_dispatch(x.shape, self.out_channels, itemsize):
+            sc, sh = gns("norm1")(x, fold_only=True)
+            h = conv("conv1")(x, pre=(sc, sh, True),
+                              post_shift=t.astype(jnp.float32)
+                              if t is not None else None)
+        else:
+            h = gns("norm1")(x)
+            h = conv("conv1")(h)
+            if t is not None:
+                h = h + t[:, None, None, :]
+        if in_ch != self.out_channels:
+            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="conv_shortcut")(x)
+        else:
+            skip = x
+        dropout_active = self.dropout > 0.0 and not deterministic
+        if (not dropout_active
+                and pallas_conv_dispatch(h.shape, self.out_channels, itemsize,
+                                         with_res=True)):
+            sc2, sh2 = gns("norm2")(h, fold_only=True)
+            return conv("conv2")(h, pre=(sc2, sh2, True), residual=skip)
         h = gns("norm2")(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv("conv2")(h)
-        if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="conv_shortcut")(x)
-        return x + h
+        return skip + h
 
 
 class TemporalResnetBlock(nn.Module):

@@ -43,8 +43,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(xp_ref, k_ref, b_ref, o_ref, win, wcat, sem,
-            *, band: int, width: int, cin_p: int):
+def _kernel(*refs, band: int, width: int, cin_p: int, hbands: int,
+            has_pre: bool, pre_silu: bool, has_post: bool, has_res: bool):
+    it = iter(refs)
+    xp_ref, k_ref, b_ref = next(it), next(it), next(it)
+    pre_sc_ref = next(it) if has_pre else None
+    pre_sh_ref = next(it) if has_pre else None
+    post_ref = next(it) if has_post else None
+    res_ref = next(it) if has_res else None
+    o_ref = next(it)
+    win, wcat, sem = next(it), next(it), next(it)
+
     n = pl.program_id(0)
     hb = pl.program_id(2)
     r0 = hb * band
@@ -53,6 +62,32 @@ def _kernel(xp_ref, k_ref, b_ref, o_ref, win, wcat, sem,
     dma.start()
     dma.wait()
 
+    if has_pre:
+        # input epilogue: y = [silu](x * sc + sh) with per-(sample, channel)
+        # f32 affine — the folded GroupNorm-normalize. Applied in VMEM on the
+        # landed band; the SAME zero padding must then be RESTORED (the
+        # affine maps pad zeros to silu(sh) != 0): interior pad columns are
+        # 0 and width+1 (cols beyond are never read by the shifts), pad rows
+        # exist only in the first/last band.
+        xv = win[...].astype(jnp.float32)
+        xv = xv * pre_sc_ref[0].reshape(1, 1, cin_p)
+        xv = xv + pre_sh_ref[0].reshape(1, 1, cin_p)
+        if pre_silu:
+            xv = xv * jax.nn.sigmoid(xv)
+        win[...] = xv.astype(win.dtype)
+        czero = jnp.zeros((band + 2, 1, cin_p), win.dtype)
+        win[:, pl.ds(0, 1), :] = czero
+        win[:, pl.ds(width + 1, 1), :] = czero
+
+        @pl.when(hb == 0)
+        def _zero_top():
+            win[pl.ds(0, 1)] = jnp.zeros((1,) + win.shape[1:], win.dtype)
+
+        @pl.when(hb == hbands - 1)
+        def _zero_bottom():
+            win[pl.ds(band + 1, 1)] = jnp.zeros((1,) + win.shape[1:],
+                                                win.dtype)
+
     # column-im2col in VMEM: wcat[r, c, dj*Cp:(dj+1)*Cp] = win[r, c+dj, :].
     # One sublane-rotate pass per dj; afterwards the three column taps are a
     # single contraction dimension of 3*Cp (3x fewer, 3x deeper MXU dots).
@@ -60,11 +95,20 @@ def _kernel(xp_ref, k_ref, b_ref, o_ref, win, wcat, sem,
         wcat[:, :, pl.ds(dj * cin_p, cin_p)] = win[:, pl.ds(dj, width), :]
 
     out = b_ref[0].astype(jnp.float32)
+    if has_post:
+        # output epilogue: per-(sample, channel) shift (the UNet resnet's
+        # broadcast time-embedding add), free in the f32 accumulator init
+        out = out + post_ref[0].astype(jnp.float32)
     for di in range(3):
         a = wcat[pl.ds(di, band)].reshape(band * width, 3 * cin_p)
         out = out + jax.lax.dot(a, k_ref[di],
                                 preferred_element_type=jnp.float32)
-    o_ref[0] = out.reshape(band, width, -1).astype(o_ref.dtype)
+    out = out.reshape(band, width, -1)
+    if has_res:
+        # output epilogue: fused residual add (the resnet skip) — the add
+        # never round-trips HBM as a separate XLA pass
+        out = out + res_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _pick_band(h: int, w: int) -> int:
@@ -87,17 +131,18 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _vmem_bytes(band: int, w: int, w_env: int, ci_p: int, bco: int,
-                itemsize: int) -> int:
+                itemsize: int, with_res: bool = False) -> int:
     win = (band + 2) * w_env * ci_p * itemsize          # DMA landing buffer
     wcat = (band + 2) * w * 3 * ci_p * itemsize         # column-im2col scratch
     kblk = 3 * 3 * ci_p * bco * itemsize                # weight block
     oblk = band * w * bco * itemsize                    # output block
     acc = band * w * bco * 4 * 2                        # f32 acc + dot result
-    return win + wcat + kblk + oblk + acc
+    res = band * w * bco * itemsize if with_res else 0  # residual block
+    return win + wcat + kblk + oblk + acc + res
 
 
 def _pick_tiles(h: int, w: int, ci_p: int, co: int,
-                itemsize: int) -> Optional[tuple]:
+                itemsize: int, with_res: bool = False) -> Optional[tuple]:
     """(band, bco) fitting the VMEM budget, or None if nothing fits.
     Prefers the measured-best band, then sheds Co tile size (weight block is
     the usual offender at deep-UNet channel counts), then shrinks the band."""
@@ -112,19 +157,22 @@ def _pick_tiles(h: int, w: int, ci_p: int, co: int,
             if co % c == 0 and (c % 128 == 0 or c == co)]
     for band in bands:
         for bco in bcos:
-            if _vmem_bytes(band, w, w_env, ci_p, bco, itemsize) <= _VMEM_BUDGET:
+            if _vmem_bytes(band, w, w_env, ci_p, bco, itemsize,
+                           with_res) <= _VMEM_BUDGET:
                 return band, bco
     return None
 
 
-def conv3x3_pallas_fits(x_shape, co: int, itemsize: int = 2) -> bool:
+def conv3x3_pallas_fits(x_shape, co: int, itemsize: int = 2,
+                        with_res: bool = False) -> bool:
     """True if some (band, bco) tiling fits the shape in scoped VMEM."""
     _, h, w, ci = x_shape
     ci_p = -(-ci // 128) * 128
-    return _pick_tiles(h, w, ci_p, co, itemsize) is not None
+    return _pick_tiles(h, w, ci_p, co, itemsize, with_res) is not None
 
 
-def conv3x3_pallas_wins(x_shape, co: int, itemsize: int = 2) -> bool:
+def conv3x3_pallas_wins(x_shape, co: int, itemsize: int = 2,
+                        with_res: bool = False) -> bool:
     """Measured dispatch rule (v5p, scripts/microbench_conv3x3.py +
     full-model-shape validation): the Pallas kernel beats XLA's conv lowering
     when the input channel count is lane-aligned (no padded-channel waste in
@@ -139,68 +187,156 @@ def conv3x3_pallas_wins(x_shape, co: int, itemsize: int = 2) -> bool:
     return co >= 128 and (ci % 128 == 0 or ci <= 64)
 
 
-def conv3x3_pallas(x: Array, kernel: Array, bias: Optional[Array] = None,
-                   band: int = 0, bco: int = 0) -> Array:
-    """(N, H, W, Cin) x (3, 3, Cin, Co) -> (N, H, W, Co), SAME, stride 1.
+def conv3x3_fused_reference(x, kernel, bias, pre_scale=None, pre_shift=None,
+                            post_shift=None, residual=None,
+                            pre_silu: bool = False):
+    """XLA reference of the fused op (tests + numerics contract):
+    y = conv3x3([silu](x*sc + sh)) + bias [+ post[:,None,None,:]] [+ res].
+    pre_scale/pre_shift: (N, Cin) f32; post_shift: (N, Co) f32."""
+    from jax import lax
+    if pre_scale is not None:
+        xv = (x.astype(jnp.float32) * pre_scale[:, None, None, :]
+              + pre_shift[:, None, None, :])
+        if pre_silu:
+            xv = xv * jax.nn.sigmoid(xv)
+        x = xv.astype(x.dtype)
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+        preferred_element_type=jnp.float32) + bias.astype(jnp.float32)
+    if post_shift is not None:
+        y = y + post_shift[:, None, None, :]
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(x.dtype)
 
-    Differentiable: forward runs the Pallas kernel, backward uses the
-    standard XLA conv-transpose formulas (tests/test_ops.py checks both)."""
+
+def conv3x3_pallas(x: Array, kernel: Array, bias: Optional[Array] = None,
+                   band: int = 0, bco: int = 0, *,
+                   pre_scale: Optional[Array] = None,
+                   pre_shift: Optional[Array] = None,
+                   pre_silu: bool = False,
+                   post_shift: Optional[Array] = None,
+                   residual: Optional[Array] = None) -> Array:
+    """(N, H, W, Cin) x (3, 3, Cin, Co) -> (N, H, W, Co), SAME, stride 1,
+    with optional fused epilogues (conv3x3_fused_reference is the contract):
+      - input:  per-(sample, channel) affine + SiLU — the folded
+        GroupNorm-normalize(+SiLU), so the normalized activation never
+        exists in HBM;
+      - output: per-(sample, channel) shift (time-embedding add) and/or a
+        residual add (resnet skip) — no separate XLA add passes.
+
+    Differentiable: forward runs the Pallas kernel; backward uses the
+    standard XLA conv-transpose formulas chained with hand-derived epilogue
+    gradients — no forward recompute beyond the cheap elementwise input
+    epilogue (tests/test_ops.py checks all paths)."""
     if bias is None:
         bias = jnp.zeros((kernel.shape[-1],), x.dtype)
+    if (pre_scale is None) != (pre_shift is None):
+        raise ValueError("pre_scale and pre_shift must be given together")
     if not (band and bco):
         ci_p = (-(-x.shape[3] // 128) * 128 if not _interpret()
                 else x.shape[3])
         tiles = _pick_tiles(x.shape[1], x.shape[2], ci_p, kernel.shape[-1],
-                            jnp.dtype(x.dtype).itemsize)
+                            jnp.dtype(x.dtype).itemsize,
+                            with_res=residual is not None)
         if tiles is None:
             raise ValueError(f"no VMEM-feasible tiling for {x.shape} -> "
                              f"{kernel.shape[-1]} channels")
         band, bco = band or tiles[0], bco or tiles[1]
-    return _conv3x3_vjp(x, kernel, bias, band, bco)
+    if pre_scale is not None:
+        pre_scale = pre_scale.astype(jnp.float32)
+        pre_shift = pre_shift.astype(jnp.float32)
+    if post_shift is not None:
+        post_shift = post_shift.astype(jnp.float32)
+    return _conv3x3_vjp(x, kernel, bias, pre_scale, pre_shift, post_shift,
+                        residual, band, bco, pre_silu)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _conv3x3_vjp(x, kernel, bias, band, bco):
-    return _conv3x3_fwd_impl(x, kernel, bias, band, bco)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _conv3x3_vjp(x, kernel, bias, pre_scale, pre_shift, post_shift,
+                 residual, band, bco, pre_silu):
+    return _conv3x3_fwd_impl(x, kernel, bias, band, bco, pre_scale,
+                             pre_shift, pre_silu, post_shift, residual)
 
 
-def _conv3x3_vjp_fwd(x, kernel, bias, band, bco):
-    return _conv3x3_fwd_impl(x, kernel, bias, band, bco), (x, kernel)
+def _conv3x3_vjp_fwd(x, kernel, bias, pre_scale, pre_shift, post_shift,
+                     residual, band, bco, pre_silu):
+    out = _conv3x3_fwd_impl(x, kernel, bias, band, bco, pre_scale,
+                            pre_shift, pre_silu, post_shift, residual)
+    has_post = post_shift is not None
+    has_res = residual is not None
+    return out, (x, kernel, pre_scale, pre_shift, has_post, has_res)
 
 
-def _conv3x3_vjp_bwd(band, bco, res, dy):
+def _conv3x3_vjp_bwd(band, bco, pre_silu, res, dy):
     from jax import lax
-    x, kernel = res
-    # dx: SAME conv of dy with the spatially-flipped, io-swapped kernel
+    x, kernel, pre_scale, pre_shift, has_post, has_res = res
+    dyf = dy.astype(jnp.float32)
+    db = jnp.sum(dyf, axis=(0, 1, 2)).astype(dy.dtype)
+    dpost = jnp.sum(dyf, axis=(1, 2)) if has_post else None
+    dres = dy if has_res else None
+
+    # recompute the conv's actual input u (cheap elementwise; avoids saving
+    # a second activation-sized residual)
+    if pre_scale is not None:
+        v = (x.astype(jnp.float32) * pre_scale[:, None, None, :]
+             + pre_shift[:, None, None, :])
+        if pre_silu:
+            sig = jax.nn.sigmoid(v)
+            u = (v * sig).astype(x.dtype)
+        else:
+            u = v.astype(x.dtype)
+    else:
+        u = x
+
+    # du: SAME conv of dy with the spatially-flipped, io-swapped kernel
     k_t = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)
     dn = lax.conv_dimension_numbers(dy.shape, k_t.shape,
                                     ("NHWC", "HWIO", "NHWC"))
-    dx = lax.conv_general_dilated(
+    du = lax.conv_general_dilated(
         dy, k_t.astype(dy.dtype), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=dn,
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    # dk: correlate x with dy — treat Cin as the conv batch, N as the
+        dimension_numbers=dn, preferred_element_type=jnp.float32)
+    # dk: correlate u with dy — treat Cin as the conv batch, N as the
     # contraction ("feature") dim, dy as an (H, W, N, Co) kernel; the (3, 3)
     # output spatial positions are exactly the taps
-    xt = x.transpose(3, 1, 2, 0)        # (Cin, H, W, N)
+    ut = u.transpose(3, 1, 2, 0)        # (Cin, H, W, N)
     dyt = dy.transpose(1, 2, 0, 3)      # (H, W, N, Co) as HWIO kernel
-    dn2 = lax.conv_dimension_numbers(xt.shape, dyt.shape,
+    dn2 = lax.conv_dimension_numbers(ut.shape, dyt.shape,
                                      ("NHWC", "HWIO", "NHWC"))
     dk = lax.conv_general_dilated(
-        xt, dyt.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        ut, dyt.astype(u.dtype), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=dn2,
         preferred_element_type=jnp.float32)   # (Cin, 3, 3, Co)
     dk = dk.transpose(1, 2, 0, 3).astype(kernel.dtype)
-    db = jnp.sum(dy.astype(jnp.float32),
-                 axis=(0, 1, 2)).astype(dy.dtype)
-    return dx, dk, db
+
+    if pre_scale is not None:
+        # chain through u = [silu](v), v = x*sc + sh
+        if pre_silu:
+            dact = sig * (1.0 + v * (1.0 - sig))
+            dv = du * dact
+        else:
+            dv = du
+        dx = (dv * pre_scale[:, None, None, :]).astype(x.dtype)
+        dsc = jnp.sum(dv * x.astype(jnp.float32), axis=(1, 2))
+        dsh = jnp.sum(dv, axis=(1, 2))
+    else:
+        dx = du.astype(x.dtype)
+        dsc = dsh = None
+    return dx, dk, db, dsc, dsh, dpost, dres
 
 
 _conv3x3_vjp.defvjp(_conv3x3_vjp_fwd, _conv3x3_vjp_bwd)
 
 
 def _conv3x3_fwd_impl(x: Array, kernel: Array, bias: Array,
-                      band: int = 8, bco: int = 0) -> Array:
+                      band: int = 8, bco: int = 0,
+                      pre_scale: Optional[Array] = None,
+                      pre_shift: Optional[Array] = None,
+                      pre_silu: bool = False,
+                      post_shift: Optional[Array] = None,
+                      residual: Optional[Array] = None) -> Array:
     """Forward Pallas kernel (no AD)."""
     n, h, w, ci = x.shape
     co = kernel.shape[-1]
@@ -214,10 +350,15 @@ def _conv3x3_fwd_impl(x: Array, kernel: Array, bias: Array,
         raise ValueError(f"bco {bco} must divide Co {co}")
     if bias is None:
         bias = jnp.zeros((co,), x.dtype)
+    has_pre = pre_scale is not None
+    has_post = post_shift is not None
+    has_res = residual is not None
 
     # tiled-memref DMA slices must be tile-aligned in the minor two dims:
     # pad C to a lane multiple (128) and the W envelope to a sublane
-    # multiple (8); the zero padding is inert (zero kernel rows / unread cols)
+    # multiple (8); the zero padding is inert (zero kernel rows / unread
+    # cols; zero pre_scale/pre_shift rows keep padded channels at
+    # silu(0*x+0) = 0)
     ci_p = -(-ci // 128) * 128 if not _interpret() else ci
     w_env = -(-(w + 2) // 8) * 8 if not _interpret() else w + 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, w_env - w - 1), (0, ci_p - ci)))
@@ -226,14 +367,33 @@ def _conv3x3_fwd_impl(x: Array, kernel: Array, bias: Array,
     kp = kp.reshape(3, 3 * ci_p, co)
     grid = (n, co // bco, h // band)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),                    # padded x
+        pl.BlockSpec((3, 3 * ci_p, bco), lambda n, c, hb: (0, 0, c)),
+        pl.BlockSpec((1, bco), lambda n, c, hb: (0, c)),
+    ]
+    operands = [xp, kp, bias.reshape(1, co)]
+    if has_pre:
+        pad_c = ((0, 0), (0, ci_p - ci))
+        operands += [jnp.pad(pre_scale.astype(jnp.float32), pad_c),
+                     jnp.pad(pre_shift.astype(jnp.float32), pad_c)]
+        in_specs += [pl.BlockSpec((1, ci_p), lambda n, c, hb: (n, 0)),
+                     pl.BlockSpec((1, ci_p), lambda n, c, hb: (n, 0))]
+    if has_post:
+        operands.append(post_shift.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((1, bco), lambda n, c, hb: (n, c)))
+    if has_res:
+        operands.append(residual)
+        in_specs.append(pl.BlockSpec((1, band, w, bco),
+                                     lambda n, c, hb: (n, hb, 0, c)))
+
     out = pl.pallas_call(
-        functools.partial(_kernel, band=band, width=w, cin_p=ci_p),
+        functools.partial(_kernel, band=band, width=w, cin_p=ci_p,
+                          hbands=h // band, has_pre=has_pre,
+                          pre_silu=pre_silu and has_pre, has_post=has_post,
+                          has_res=has_res),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),                    # padded x
-            pl.BlockSpec((3, 3 * ci_p, bco), lambda n, c, hb: (0, 0, c)),
-            pl.BlockSpec((1, bco), lambda n, c, hb: (0, c)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, band, w, bco),
                                lambda n, c, hb: (n, hb, 0, c)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
@@ -245,5 +405,5 @@ def _conv3x3_fwd_impl(x: Array, kernel: Array, bias: Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(xp, kp, bias.reshape(1, co))
+    )(*operands)
     return out

@@ -238,6 +238,29 @@ def _gn_silu_bwd(groups, eps, silu, res, g):
 _gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
 
 
+def group_norm_fold(x: Array, scale: Array, bias: Array, *, groups: int = 32,
+                    eps: float = 1e-5):
+    """Fold GroupNorm stats + affine into a per-(sample, channel) f32 affine:
+    returns (sc, sh) with GN(x)*scale + bias == x*sc + sh (before any SiLU).
+
+    This is the stats half of GroupNorm decoupled from the normalize half so
+    the normalize (+SiLU) can ride as an input epilogue of the consumer — the
+    Pallas conv3x3 (ops/pallas/conv3x3.py) — and the normalized activation
+    never exists in HBM. The stats reduce is left to XLA (reads x once at HBM
+    speed, writes only (N, G) scalars)."""
+    n, c = x.shape[0], x.shape[-1]
+    gs = c // groups
+    xf = x.astype(jnp.float32).reshape(n, -1, groups, gs)
+    mean = jnp.mean(xf, axis=(1, 3))                       # (N, G)
+    var = jnp.var(xf, axis=(1, 3))
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, gs, axis=1)                  # (N, C)
+    inv_c = jnp.repeat(inv, gs, axis=1)
+    sc = inv_c * scale.astype(jnp.float32)[None, :]
+    sh = bias.astype(jnp.float32)[None, :] - mean_c * sc
+    return sc, sh
+
+
 def fits_vmem(x_shape, dtype_bytes: int = 4) -> bool:
     # the kernel holds ~4 sample-sized buffers (in, x*x, fp32 centered, out)
     per_sample = int(np.prod(x_shape[1:])) * dtype_bytes * 4

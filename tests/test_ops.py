@@ -237,3 +237,98 @@ def test_conv3x3_pallas_tile_picker_legality():
     assert not conv3x3_pallas_wins((28, 72, 128, 320), 320)
     assert not conv3x3_pallas_wins((28, 72, 128, 320), 4)
     assert not conv3x3_pallas_wins((7, 576, 1024, 128), 3)
+
+
+def test_conv3x3_pallas_fused_epilogues():
+    """Fused input-affine+SiLU / post-shift / residual epilogues (interpret
+    mode): forward and every gradient must match conv3x3_fused_reference."""
+    import jax
+    import jax.numpy as jnp
+    from svd_xtend_tpu.ops.pallas.conv3x3 import (conv3x3_fused_reference,
+                                                  conv3x3_pallas)
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    n, h, w, ci, co = 2, 6, 8, 5, 12
+    x = jax.random.normal(ks[0], (n, h, w, ci), jnp.float32)
+    k = jax.random.normal(ks[1], (3, 3, ci, co)) * 0.2
+    b = jax.random.normal(ks[2], (co,)) * 0.1
+    sc = jax.random.normal(ks[3], (n, ci)) * 0.5 + 1.0
+    sh = jax.random.normal(ks[4], (n, ci)) * 0.3
+    post = jax.random.normal(ks[5], (n, co)) * 0.2
+    res = jax.random.normal(ks[6], (n, h, w, co))
+    dy = jax.random.normal(ks[7], (n, h, w, co))
+
+    cases = [
+        dict(pre_scale=sc, pre_shift=sh, pre_silu=True),
+        dict(pre_scale=sc, pre_shift=sh, pre_silu=False),
+        dict(post_shift=post),
+        dict(residual=res),
+        dict(pre_scale=sc, pre_shift=sh, pre_silu=True, post_shift=post,
+             residual=res),
+    ]
+    for kw in cases:
+        got = conv3x3_pallas(x, k, b, band=3, **kw)
+        want = conv3x3_fused_reference(x, k, b,
+                                       pre_silu=kw.get("pre_silu", False),
+                                       **{a: kw[a] for a in
+                                          ("pre_scale", "pre_shift",
+                                           "post_shift", "residual")
+                                          if a in kw})
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(kw.keys()))
+
+        diff_args = [a for a in ("pre_scale", "pre_shift", "post_shift",
+                                 "residual") if a in kw]
+
+        def loss_pallas(x_, k_, b_, *extra):
+            kw2 = dict(zip(diff_args, extra))
+            kw2["pre_silu"] = kw.get("pre_silu", False)
+            return jnp.sum(conv3x3_pallas(x_, k_, b_, band=3, **kw2) * dy)
+
+        def loss_ref(x_, k_, b_, *extra):
+            kw2 = dict(zip(diff_args, extra))
+            return jnp.sum(conv3x3_fused_reference(
+                x_, k_, b_, pre_silu=kw.get("pre_silu", False), **kw2) * dy)
+
+        extras = [kw[a] for a in diff_args]
+        nargs = 3 + len(extras)
+        g1 = jax.grad(loss_pallas, argnums=tuple(range(nargs)))(x, k, b, *extras)
+        g2 = jax.grad(loss_ref, argnums=tuple(range(nargs)))(x, k, b, *extras)
+        for name, a, bb in zip(["x", "k", "b"] + diff_args, g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"{list(kw)} grad {name}")
+
+
+def test_resnet_block_fused_path_matches_unfused(monkeypatch):
+    """ResnetBlock2D with the Pallas fused-epilogue path forced on
+    (SVDX_PALLAS_CONV=force, interpret mode) must match the unfused path
+    bit-for-tolerance with the same params."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from svd_xtend_tpu.models.blocks import ResnetBlock2D
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(k1, (2, 8, 8, 128), jnp.float32)
+    temb = jax.random.normal(k2, (2, 24), jnp.float32)
+    blk = ResnetBlock2D(out_channels=128, groups=4)
+    blk_wide = ResnetBlock2D(out_channels=128, groups=4)  # exercises shortcut
+
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "0")
+    params = blk.init(k3, x, temb)
+    want = blk.apply(params, x, temb)
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "force")
+    got = blk.apply(params, x, temb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # channel-changing variant (conv_shortcut feeding the fused residual)
+    xw = jax.random.normal(k1, (1, 8, 8, 64), jnp.float32)
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "0")
+    pw = blk_wide.init(k3, xw, None)
+    want_w = blk_wide.apply(pw, xw, None)
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "force")
+    got_w = blk_wide.apply(pw, xw, None)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                               rtol=2e-5, atol=2e-5)
