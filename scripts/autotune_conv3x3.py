@@ -1,0 +1,188 @@
+"""Autotune the conv3x3 implementation choice per model shape on the
+attached TPU and write the winner table consulted by the Conv3x3 dispatch
+(svd_xtend_tpu/ops/pallas/autotune.py).
+
+Shape collection is by tracing: jax.eval_shape over the UNet and VAE
+decoder at the requested operating point records every Conv3x3 request in
+the autotune registry (no FLOPs run). Each recorded shape is then measured
+— XLA conv vs the Pallas implicit-GEMM kernel over a small (band, bco)
+neighborhood — with relay-robust timing: ITERS chained iterations inside
+one jit (single dispatch), synced by pulling the result to host.
+
+Usage:
+  python scripts/autotune_conv3x3.py                   # 512x320x14f (bench op-point)
+  python scripts/autotune_conv3x3.py --height 576 --width 1024 --frames 25
+  python scripts/autotune_conv3x3.py --quick           # XLA vs auto-pick only
+  python scripts/autotune_conv3x3.py --out /tmp/t.json # don't touch the package table
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from svd_xtend_tpu.ops.pallas import autotune
+from svd_xtend_tpu.ops.pallas.conv3x3 import (_VMEM_BUDGET, _pick_tiles,
+                                              _vmem_bytes, conv3x3_pallas,
+                                              conv3x3_pallas_fits)
+
+ITERS = 12
+
+
+def collect_shapes(height: int, width: int, frames: int, batch: int,
+                   dtype) -> list:
+    """Trace the UNet (CFG-doubled) + VAE decoder/encoder at the operating
+    point; the Conv3x3 dispatch records every conv request."""
+    from svd_xtend_tpu.core.config import (CLIPVisionConfig, UNetConfig,
+                                           VAEConfig)
+    from svd_xtend_tpu.models.unet import UNetSpatioTemporalConditionModel
+    from svd_xtend_tpu.models.vae import Encoder, TemporalDecoder
+
+    autotune.reset_recorded()
+    vae_cfg, clip_cfg = VAEConfig(), CLIPVisionConfig()
+    h8, w8 = height // 8, width // 8
+    unet = UNetSpatioTemporalConditionModel(UNetConfig(), dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    lat = jnp.zeros((2 * batch, frames, h8, w8, 8), dtype)
+    t = jnp.zeros((2 * batch,), jnp.float32)
+    ctx = jnp.zeros((2 * batch, 1, clip_cfg.projection_dim), dtype)
+    added = jnp.zeros((2 * batch, 3), jnp.float32)
+    jax.eval_shape(unet.init, rng, lat, t, ctx, added)
+
+    dec = TemporalDecoder(vae_cfg, dtype=dtype)
+    chunk = min(8, frames)
+    jax.eval_shape(dec.init, rng,
+                   jnp.zeros((batch, chunk, h8, w8,
+                              vae_cfg.latent_channels), dtype))
+    enc = Encoder(vae_cfg, dtype=dtype)
+    jax.eval_shape(enc.init, rng, jnp.zeros((frames, height, width, 3), dtype))
+    return autotune.recorded_shapes()
+
+
+def timed(fn, x, *args) -> float:
+    """Seconds per iteration: ITERS chained calls in one jit, host-synced."""
+    ci = x.shape[-1]
+
+    def body(i, carry):
+        y = fn(carry, *args)
+        if y.shape[-1] >= ci:
+            return carry + 1e-6 * y[..., :ci]
+        return carry + 1e-6 * jnp.pad(
+            y, [(0, 0)] * 3 + [(0, ci - y.shape[-1])])
+
+    f = jax.jit(lambda x0: lax.fori_loop(0, ITERS, body, x0))
+    r = f(x)
+    float(jnp.sum(r.astype(jnp.float32)))            # warm + real sync
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        r = f(x)
+        float(jnp.sum(r.astype(jnp.float32)))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return best
+
+
+def conv_xla(x, k, b):
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    return (lax.conv_general_dilated(x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+            + b).astype(x.dtype)
+
+
+def tile_candidates(h: int, w: int, ci: int, co: int, itemsize: int,
+                    quick: bool) -> list:
+    ci_p = -(-ci // 128) * 128
+    auto = _pick_tiles(h, w, ci_p, co, itemsize)
+    if auto is None:
+        return []
+    cands = [auto]
+    if quick:
+        return cands
+    band0, bco0 = auto
+    w_env = -(-(w + 2) // 8) * 8
+    for band in {band0 * 2, band0 // 2, h}:
+        if band and h % band == 0 and band != band0:
+            if _vmem_bytes(band, w, w_env, ci_p, bco0, itemsize) <= _VMEM_BUDGET:
+                cands.append((band, bco0))
+    for bco in {co, 128, 256}:
+        if (bco != bco0 and co % bco == 0 and (bco % 128 == 0 or bco == co)
+                and _vmem_bytes(band0, w, w_env, ci_p, bco,
+                                itemsize) <= _VMEM_BUDGET):
+            cands.append((band0, bco))
+    return cands[:4]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=320)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--quick", action="store_true",
+                    help="XLA vs auto-picked Pallas tiling only")
+    ap.add_argument("--out", default=None,
+                    help="table path (default: the package table)")
+    args = ap.parse_args()
+
+    if jax.default_backend() != "tpu":
+        print(f"WARNING: backend is {jax.default_backend()}, timings will "
+              "not transfer to TPU", file=sys.stderr)
+    dtype = jnp.dtype(args.dtype)
+    shapes = collect_shapes(args.height, args.width, args.frames, args.batch,
+                            dtype)
+    print(f"{len(shapes)} conv3x3 shapes recorded at "
+          f"{args.width}x{args.height}x{args.frames}f")
+
+    key = jax.random.PRNGKey(0)
+    entries = {}
+    for (x_shape, co, dtype_str) in shapes:
+        n, h, w, ci = x_shape
+        if w % 8 or not conv3x3_pallas_fits(x_shape, co, dtype.itemsize):
+            print(f"{n}x{h}x{w}x{ci}->{co}: pallas infeasible, xla")
+            entries[autotune._key(x_shape, co, dtype_str)] = \
+                autotune.make_entry("xla")
+            continue
+        ks = jax.random.split(key, 3)
+        x = jax.random.normal(ks[0], x_shape, dtype)
+        k = (jax.random.normal(ks[1], (3, 3, ci, co), dtype) * 0.05)
+        b = jax.random.normal(ks[2], (co,), dtype) * 0.1
+        t_xla = timed(conv_xla, x, k, b)
+        best = ("xla", 0, 0, t_xla)
+        for (band, bco) in tile_candidates(h, w, ci, co, dtype.itemsize,
+                                           args.quick):
+            try:
+                t = timed(lambda x, k, b: conv3x3_pallas(
+                    x, k, b, band=band, bco=bco), x, k, b)
+            except Exception as e:
+                print(f"  band={band} bco={bco}: FAIL "
+                      f"{type(e).__name__}: {str(e)[:120]}")
+                continue
+            if t < best[3]:
+                best = ("pallas", band, bco, t)
+        impl, band, bco, t = best
+        speedup = t_xla / t if impl == "pallas" else 1.0
+        entries[autotune._key(x_shape, co, dtype_str)] = autotune.make_entry(
+            impl, band, bco, speedup)
+        extra = f" band={band} bco={bco} {speedup:.2f}x" if impl == "pallas" else ""
+        print(f"{n}x{h}x{w}x{ci}->{co}: {impl}{extra}  "
+              f"(xla {t_xla*1e3:.3f} ms, best {t*1e3:.3f} ms)")
+
+    path = autotune.save_table(entries, args.out,
+                               device_kind=jax.devices()[0].device_kind)
+    print(f"wrote {len(entries)} entries -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,20 +53,50 @@ class GroupNormSiLU(nn.Module):
                                eps=self.eps, impl=self.impl, silu=self.silu)
 
 
-def pallas_conv_dispatch(x_shape, features: int, itemsize: int,
-                         with_res: bool = False) -> bool:
-    """True when Conv3x3 will take the Pallas implicit-GEMM path for this
-    shape. SVDX_PALLAS_CONV: "0" disables, "force" enables off-TPU (interpret
-    mode, for tests), default auto (TPU + measured-win shapes only)."""
+def pallas_conv_dispatch(x_shape, features: int, dtype,
+                         with_res: bool = False):
+    """Decide whether Conv3x3 takes the Pallas implicit-GEMM path for this
+    shape: returns {"band": b, "bco": c} (zeros = auto-pick) or None (XLA).
+
+    Order: the autotune table (measured winner for this exact shape,
+    ops/pallas/autotune.py) first, then the measured heuristic
+    (conv3x3_pallas_wins). Every query is recorded in the autotune shape
+    registry so tracing a model yields its conv working set.
+    SVDX_PALLAS_CONV: "0" disables, "force" enables off-TPU (interpret mode,
+    for tests), default auto (TPU only)."""
     import os
 
+    from ..ops.pallas import autotune
+    dtype = jnp.dtype(dtype)
+    autotune.record_shape(x_shape, features, dtype.name)
     mode = os.environ.get("SVDX_PALLAS_CONV", "1")
     if mode == "0" or x_shape[2] % 8 != 0:
-        return False
+        return None
     if jax.default_backend() != "tpu" and mode != "force":
-        return False
-    from ..ops.pallas.conv3x3 import conv3x3_pallas_wins
-    return conv3x3_pallas_wins(x_shape, features, itemsize, with_res)
+        return None
+    from ..ops.pallas.conv3x3 import (_VMEM_BUDGET, _vmem_bytes,
+                                      conv3x3_pallas_fits,
+                                      conv3x3_pallas_wins)
+    ent = autotune.lookup(x_shape, features, dtype.name)
+    if ent is not None:
+        if ent.get("impl") != "pallas":
+            return None
+        if not conv3x3_pallas_fits(x_shape, features, dtype.itemsize,
+                                   with_res):
+            return None
+        band, bco = ent.get("band", 0), ent.get("bco", 0)
+        if with_res and band and bco:
+            # the residual block adds VMEM; re-pick if the tuned tiling no
+            # longer fits with it
+            ci_p = -(-x_shape[3] // 128) * 128
+            w_env = -(-(x_shape[2] + 2) // 8) * 8
+            if _vmem_bytes(band, x_shape[2], w_env, ci_p, bco,
+                           dtype.itemsize, with_res=True) > _VMEM_BUDGET:
+                band = bco = 0
+        return {"band": band, "bco": bco}
+    if conv3x3_pallas_wins(x_shape, features, dtype.itemsize, with_res):
+        return {"band": 0, "bco": 0}
+    return None
 
 
 class Conv3x3(nn.Module):
@@ -105,15 +135,16 @@ class Conv3x3(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         h, w = x.shape[1], x.shape[2]
-        if pallas_conv_dispatch(x.shape, self.features,
-                                jnp.dtype(x.dtype).itemsize,
-                                with_res=residual is not None):
+        disp = pallas_conv_dispatch(x.shape, self.features, x.dtype,
+                                    with_res=residual is not None)
+        if disp is not None:
             from ..ops.pallas.conv3x3 import conv3x3_pallas
             kw = {}
             if pre is not None:
                 kw = dict(pre_scale=pre[0], pre_shift=pre[1],
                           pre_silu=bool(pre[2]))
-            return conv3x3_pallas(x, kernel, bias, post_shift=post_shift,
+            return conv3x3_pallas(x, kernel, bias, band=disp["band"],
+                                  bco=disp["bco"], post_shift=post_shift,
                                   residual=residual, **kw)
         if pre is not None:
             sc, sh, do_silu = pre
@@ -222,7 +253,6 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x: Array, temb: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         in_ch = x.shape[-1]
-        itemsize = jnp.dtype(self.dtype).itemsize
         conv = lambda name: Conv3x3(self.out_channels, dtype=self.dtype,
                                     param_dtype=self.param_dtype, name=name)
         gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
@@ -232,7 +262,8 @@ class ResnetBlock2D(nn.Module):
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
-        if pallas_conv_dispatch(x.shape, self.out_channels, itemsize):
+        if pallas_conv_dispatch(x.shape, self.out_channels,
+                                self.dtype) is not None:
             sc, sh = gns("norm1")(x, fold_only=True)
             h = conv("conv1")(x, pre=(sc, sh, True),
                               post_shift=t.astype(jnp.float32)
@@ -249,8 +280,9 @@ class ResnetBlock2D(nn.Module):
             skip = x
         dropout_active = self.dropout > 0.0 and not deterministic
         if (not dropout_active
-                and pallas_conv_dispatch(h.shape, self.out_channels, itemsize,
-                                         with_res=True)):
+                and pallas_conv_dispatch(h.shape, self.out_channels,
+                                         self.dtype,
+                                         with_res=True) is not None):
             sc2, sh2 = gns("norm2")(h, fold_only=True)
             return conv("conv2")(h, pre=(sc2, sh2, True), residual=skip)
         h = gns("norm2")(h)

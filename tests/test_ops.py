@@ -332,3 +332,37 @@ def test_resnet_block_fused_path_matches_unfused(monkeypatch):
     got_w = blk_wide.apply(pw, xw, None)
     np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_conv3x3_autotune_table(tmp_path, monkeypatch):
+    """Autotune table round-trip and dispatch precedence: a table entry for
+    the exact shape overrides the heuristic in both directions."""
+    import jax.numpy as jnp
+    from svd_xtend_tpu.models.blocks import pallas_conv_dispatch
+    from svd_xtend_tpu.ops.pallas import autotune
+
+    path = str(tmp_path / "table.json")
+    monkeypatch.setenv("SVDX_AUTOTUNE_TABLE", path)
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "force")
+
+    win_shape, win_co = (28, 36, 64, 640), 640     # heuristic: pallas
+    lose_shape, lose_co = (28, 72, 128, 320), 320  # heuristic: xla
+    assert pallas_conv_dispatch(win_shape, win_co, jnp.bfloat16) is not None
+    assert pallas_conv_dispatch(lose_shape, lose_co, jnp.bfloat16) is None
+
+    autotune.save_table({
+        autotune._key(win_shape, win_co, "bfloat16"):
+            autotune.make_entry("xla"),
+        autotune._key(lose_shape, lose_co, "bfloat16"):
+            autotune.make_entry("pallas", band=4, bco=320, speedup=1.3),
+    }, path)
+    assert pallas_conv_dispatch(win_shape, win_co, jnp.bfloat16) is None
+    got = pallas_conv_dispatch(lose_shape, lose_co, jnp.bfloat16)
+    assert got == {"band": 4, "bco": 320}
+
+    # merge keeps prior entries; shape registry records queries
+    autotune.save_table({"x": autotune.make_entry("xla")}, path)
+    assert autotune.lookup(lose_shape, lose_co, "bfloat16") is not None
+    autotune.reset_recorded()
+    pallas_conv_dispatch((1, 8, 8, 32), 16, jnp.float32)
+    assert ((1, 8, 8, 32), 16, "float32") in autotune.recorded_shapes()
