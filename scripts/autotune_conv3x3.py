@@ -123,6 +123,41 @@ def tile_candidates(h: int, w: int, ci: int, co: int, itemsize: int,
     return cands[:4]
 
 
+def _validate(x, k, b, band, bco, key):
+    """Max relative error of the winning pallas config (plain and with all
+    fused epilogues) vs the XLA reference; None on exception."""
+    from svd_xtend_tpu.ops.pallas.conv3x3 import conv3x3_fused_reference
+    n, h, w, ci = x.shape
+    co = k.shape[-1]
+    ks = jax.random.split(key, 3)
+    sc = jax.random.normal(ks[0], (n, ci), jnp.float32) * 0.3 + 1.0
+    sh = jax.random.normal(ks[1], (n, ci), jnp.float32) * 0.2
+    res = jax.random.normal(ks[2], (n, h, w, co), x.dtype)
+    try:
+        # the module re-picks tiles when the residual block overflows the
+        # tuned tiling's VMEM (models/blocks.py) — mirror that here
+        ci_p = -(-ci // 128) * 128
+        w_env = -(-(w + 2) // 8) * 8
+        res_fits = _vmem_bytes(band, w, w_env, ci_p, bco, x.dtype.itemsize,
+                               with_res=True) <= _VMEM_BUDGET
+        worst = 0.0
+        for tiles, kw in (
+                ((band, bco), dict()),
+                ((band if res_fits else 0, bco if res_fits else 0),
+                 dict(pre_scale=sc, pre_shift=sh, pre_silu=True,
+                      residual=res))):
+            got = jax.jit(lambda x, k, b: conv3x3_pallas(
+                x, k, b, band=tiles[0], bco=tiles[1], **kw))(x, k, b)
+            want = jax.jit(lambda x, k, b: conv3x3_fused_reference(
+                x, k, b, **kw))(x, k, b)
+            gf, wf = got.astype(jnp.float32), want.astype(jnp.float32)
+            scale = float(jnp.max(jnp.abs(wf))) + 1e-6
+            worst = max(worst, float(jnp.max(jnp.abs(gf - wf))) / scale)
+        return worst
+    except Exception:
+        return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=320)
@@ -132,6 +167,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--quick", action="store_true",
                     help="XLA vs auto-picked Pallas tiling only")
+    ap.add_argument("--validate", action="store_true",
+                    help="also numerics-check each pallas winner (plain + "
+                         "fused epilogues) against the XLA reference; "
+                         "demote to xla on mismatch")
     ap.add_argument("--out", default=None,
                     help="table path (default: the package table)")
     args = ap.parse_args()
@@ -172,12 +211,18 @@ def main():
             if t < best[3]:
                 best = ("pallas", band, bco, t)
         impl, band, bco, t = best
+        if args.validate and impl == "pallas":
+            err = _validate(x, k, b, band, bco, key)
+            if err is None or err > 2e-2:
+                print(f"  winner failed validation (err={err}), demoting "
+                      "to xla")
+                impl, band, bco, t = "xla", 0, 0, t_xla
         speedup = t_xla / t if impl == "pallas" else 1.0
         entries[autotune._key(x_shape, co, dtype_str)] = autotune.make_entry(
             impl, band, bco, speedup)
         extra = f" band={band} bco={bco} {speedup:.2f}x" if impl == "pallas" else ""
         print(f"{n}x{h}x{w}x{ci}->{co}: {impl}{extra}  "
-              f"(xla {t_xla*1e3:.3f} ms, best {t*1e3:.3f} ms)")
+              f"(xla {t_xla*1e3:.3f} ms, best {t*1e3:.3f} ms)", flush=True)
 
     path = autotune.save_table(entries, args.out,
                                device_kind=jax.devices()[0].device_kind)

@@ -212,6 +212,36 @@ def conv3x3_fused_reference(x, kernel, bias, pre_scale=None, pre_shift=None,
     return y.astype(x.dtype)
 
 
+def _plain_dispatch(x_shape, co: int, dtype) -> Optional[tuple]:
+    """(band, bco) when a plain (no-residual) conv at this shape should take
+    the Pallas kernel — autotune table first, then the measured heuristic;
+    None -> XLA. Same env gating as the module-level dispatch
+    (models/blocks.py: pallas_conv_dispatch)."""
+    import os
+    mode = os.environ.get("SVDX_PALLAS_CONV", "1")
+    if mode == "0" or x_shape[2] % 8 != 0:
+        return None
+    if jax.default_backend() != "tpu" and mode != "force":
+        return None
+    from . import autotune
+    itemsize = jnp.dtype(dtype).itemsize
+    ent = autotune.lookup(tuple(x_shape), co, jnp.dtype(dtype).name)
+    if ent is not None:
+        if (ent.get("impl") != "pallas"
+                or not conv3x3_pallas_fits(x_shape, co, itemsize)):
+            return None
+        band, bco = ent.get("band", 0), ent.get("bco", 0)
+    elif conv3x3_pallas_wins(x_shape, co, itemsize):
+        band = bco = 0
+    else:
+        return None
+    if not (band and bco):
+        _, h, w, ci = x_shape
+        ci_p = -(-ci // 128) * 128 if not _interpret() else ci
+        band, bco = _pick_tiles(h, w, ci_p, co, itemsize)
+    return band, bco
+
+
 def conv3x3_pallas(x: Array, kernel: Array, bias: Optional[Array] = None,
                    band: int = 0, bco: int = 0, *,
                    pre_scale: Optional[Array] = None,
@@ -291,13 +321,22 @@ def _conv3x3_vjp_bwd(band, bco, pre_silu, res, dy):
     else:
         u = x
 
-    # du: SAME conv of dy with the spatially-flipped, io-swapped kernel
+    # du: SAME conv of dy with the spatially-flipped, io-swapped kernel —
+    # itself a 3x3 SAME conv, so it takes the Pallas kernel at winning
+    # shapes (training-path analog of the forward dispatch; bf16 du, the
+    # standard mixed-precision conv-bwd dtype)
     k_t = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)
-    dn = lax.conv_dimension_numbers(dy.shape, k_t.shape,
-                                    ("NHWC", "HWIO", "NHWC"))
-    du = lax.conv_general_dilated(
-        dy, k_t.astype(dy.dtype), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=dn, preferred_element_type=jnp.float32)
+    ci = x.shape[-1]
+    disp = _plain_dispatch(dy.shape, ci, dy.dtype)
+    if disp is not None:
+        du = _conv3x3_fwd_impl(dy, k_t.astype(dy.dtype), None,
+                               disp[0], disp[1]).astype(jnp.float32)
+    else:
+        dn = lax.conv_dimension_numbers(dy.shape, k_t.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        du = lax.conv_general_dilated(
+            dy, k_t.astype(dy.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
     # dk: correlate u with dy — treat Cin as the conv batch, N as the
     # contraction ("feature") dim, dy as an (H, W, N, Co) kernel; the (3, 3)
     # output spatial positions are exactly the taps
@@ -374,14 +413,18 @@ def _conv3x3_fwd_impl(x: Array, kernel: Array, bias: Array,
     ]
     operands = [xp, kp, bias.reshape(1, co)]
     if has_pre:
+        # (N, 1, Cp) with (1, 1, Cp) blocks: a (1, Cp) block over (N, Cp)
+        # would be Mosaic-illegal (second-minor 1 neither sublane-aligned
+        # nor spanning N)
         pad_c = ((0, 0), (0, ci_p - ci))
-        operands += [jnp.pad(pre_scale.astype(jnp.float32), pad_c),
-                     jnp.pad(pre_shift.astype(jnp.float32), pad_c)]
-        in_specs += [pl.BlockSpec((1, ci_p), lambda n, c, hb: (n, 0)),
-                     pl.BlockSpec((1, ci_p), lambda n, c, hb: (n, 0))]
+        operands += [
+            jnp.pad(pre_scale.astype(jnp.float32), pad_c).reshape(n, 1, ci_p),
+            jnp.pad(pre_shift.astype(jnp.float32), pad_c).reshape(n, 1, ci_p)]
+        in_specs += [pl.BlockSpec((1, 1, ci_p), lambda n, c, hb: (n, 0, 0)),
+                     pl.BlockSpec((1, 1, ci_p), lambda n, c, hb: (n, 0, 0))]
     if has_post:
-        operands.append(post_shift.astype(jnp.float32))
-        in_specs.append(pl.BlockSpec((1, bco), lambda n, c, hb: (n, c)))
+        operands.append(post_shift.astype(jnp.float32).reshape(n, 1, co))
+        in_specs.append(pl.BlockSpec((1, 1, bco), lambda n, c, hb: (n, 0, c)))
     if has_res:
         operands.append(residual)
         in_specs.append(pl.BlockSpec((1, band, w, bco),

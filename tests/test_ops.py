@@ -366,3 +366,36 @@ def test_conv3x3_autotune_table(tmp_path, monkeypatch):
     autotune.reset_recorded()
     pallas_conv_dispatch((1, 8, 8, 32), 16, jnp.float32)
     assert ((1, 8, 8, 32), 16, "float32") in autotune.recorded_shapes()
+
+
+def test_conv3x3_pallas_bwd_dx_dispatch(monkeypatch):
+    """The backward dx conv routes through the Pallas kernel at winning
+    shapes (force mode, interpret): gradients must still match XLA."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from svd_xtend_tpu.ops.pallas.conv3x3 import (_plain_dispatch,
+                                                  conv3x3_pallas)
+
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "force")
+    n, h, w, ci, co = 1, 4, 8, 128, 128
+    assert _plain_dispatch((n, h, w, co), ci, jnp.float32) is not None
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    x = jax.random.normal(ks[0], (n, h, w, ci), jnp.float32)
+    k = jax.random.normal(ks[1], (3, 3, ci, co)) * 0.1
+    b = jax.random.normal(ks[2], (co,)) * 0.1
+    dy = jax.random.normal(ks[3], (n, h, w, co))
+
+    def ref(x, k, b):
+        dn = lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) + b
+
+    g1 = jax.grad(lambda *a: jnp.sum(conv3x3_pallas(*a) * dy),
+                  argnums=(0, 1, 2))(x, k, b)
+    g2 = jax.grad(lambda *a: jnp.sum(ref(*a) * dy),
+                  argnums=(0, 1, 2))(x, k, b)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-4)
