@@ -284,17 +284,63 @@ def conv3x3_pallas(x: Array, kernel: Array, bias: Optional[Array] = None,
                         residual, band, bco, pre_silu)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_impl(band: int, bco: int, has_pre: bool, pre_silu: bool,
+                      has_post: bool, has_res: bool):
+    """SPMD-partitionable fwd (ops/pallas/partition.py): batch-dim-only
+    sharding, per-shard Pallas lowering. One wrapper per static config."""
+    from .partition import batch_partitioned
+
+    def impl(*arrays):
+        it = iter(arrays)
+        x, kernel, bias = next(it), next(it), next(it)
+        pre_sc = next(it) if has_pre else None
+        pre_sh = next(it) if has_pre else None
+        post = next(it) if has_post else None
+        res = next(it) if has_res else None
+        return _conv3x3_fwd_impl(x, kernel, bias, band, bco, pre_sc, pre_sh,
+                                 pre_silu, post, res)
+
+    batch_dims = [0, None, None]
+    lhs = ["b h w c", "p q c o", "o"]
+    if has_pre:
+        batch_dims += [0, 0]
+        lhs += ["b c", "b c"]
+    if has_post:
+        batch_dims.append(0)
+        lhs.append("b o")
+    if has_res:
+        batch_dims.append(0)
+        lhs.append("b h w o")
+    rule = ", ".join(lhs) + " -> b h w o"
+    return batch_partitioned(impl, batch_dims, 0, rule,
+                             need_replication=("h", "w", "c", "o", "p", "q"))
+
+
+def _conv3x3_fwd(x, kernel, bias, band, bco, pre_scale, pre_shift, pre_silu,
+                 post_shift, residual):
+    import os
+    if os.environ.get("SVDX_PARTITIONED_KERNELS", "1") == "0":
+        return _conv3x3_fwd_impl(x, kernel, bias, band, bco, pre_scale,
+                                 pre_shift, pre_silu, post_shift, residual)
+    wrapper = _partitioned_impl(band, bco, pre_scale is not None, pre_silu,
+                                post_shift is not None, residual is not None)
+    args = [x, kernel, bias] + [a for a in (pre_scale, pre_shift, post_shift,
+                                            residual) if a is not None]
+    return wrapper(*args)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _conv3x3_vjp(x, kernel, bias, pre_scale, pre_shift, post_shift,
                  residual, band, bco, pre_silu):
-    return _conv3x3_fwd_impl(x, kernel, bias, band, bco, pre_scale,
-                             pre_shift, pre_silu, post_shift, residual)
+    return _conv3x3_fwd(x, kernel, bias, band, bco, pre_scale,
+                        pre_shift, pre_silu, post_shift, residual)
 
 
 def _conv3x3_vjp_fwd(x, kernel, bias, pre_scale, pre_shift, post_shift,
                      residual, band, bco, pre_silu):
-    out = _conv3x3_fwd_impl(x, kernel, bias, band, bco, pre_scale,
-                            pre_shift, pre_silu, post_shift, residual)
+    out = _conv3x3_fwd(x, kernel, bias, band, bco, pre_scale,
+                       pre_shift, pre_silu, post_shift, residual)
     has_post = post_shift is not None
     has_res = residual is not None
     return out, (x, kernel, pre_scale, pre_shift, has_post, has_res)
@@ -329,8 +375,9 @@ def _conv3x3_vjp_bwd(band, bco, pre_silu, res, dy):
     ci = x.shape[-1]
     disp = _plain_dispatch(dy.shape, ci, dy.dtype)
     if disp is not None:
-        du = _conv3x3_fwd_impl(dy, k_t.astype(dy.dtype), None,
-                               disp[0], disp[1]).astype(jnp.float32)
+        du = _conv3x3_fwd(dy, k_t.astype(dy.dtype),
+                          jnp.zeros((ci,), dy.dtype), disp[0], disp[1],
+                          None, None, False, None, None).astype(jnp.float32)
     else:
         dn = lax.conv_dimension_numbers(dy.shape, k_t.shape,
                                         ("NHWC", "HWIO", "NHWC"))

@@ -256,20 +256,59 @@ def _bwd_impl(q, k, v, o, lse, do, scale):
     return dq, dk, dv
 
 
+# ------------------------------------------------- SPMD partitioning ------
+# The folded (B*H, S, D) layout makes dim 0 carry both data-parallel batch
+# and tensor-parallel head sharding; both are exact for attention (samples
+# and heads never mix), so the kernels partition along dim 0 and everything
+# else is forced replicated (ops/pallas/partition.py).
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(scale: float):
+    from .partition import batch_partitioned
+    return batch_partitioned(
+        lambda q, k, v: _fwd(q, k, v, scale),
+        [0, 0, 0], [0, 0],
+        rule="b s d, b t d, b t d -> b s d, b u s",
+        need_replication=("s", "t", "d", "u"))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(scale: float):
+    from .partition import batch_partitioned
+    return batch_partitioned(
+        lambda q, k, v, o, lse, do: _bwd_impl(q, k, v, o, lse, do, scale),
+        [0] * 6, [0, 0, 0],
+        rule=("b s d, b t d, b t d, b s d, b u s, b s d"
+              " -> b s d, b t d, b t d"),
+        need_replication=("s", "t", "d", "u"))
+
+
+def _partitioned() -> bool:
+    import os
+    return os.environ.get("SVDX_PARTITIONED_KERNELS", "1") != "0"
+
+
 # ------------------------------------------------------- custom_vjp glue ---
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q: Array, k: Array, v: Array, scale: float) -> Array:
+    if _partitioned():
+        return _partitioned_fwd(float(scale))(q, k, v)[0]
     return _fwd(q, k, v, scale)[0]
 
 
 def _flash_fwd(q, k, v, scale):
-    o, lse = _fwd(q, k, v, scale)
+    if _partitioned():
+        o, lse = _partitioned_fwd(float(scale))(q, k, v)
+    else:
+        o, lse = _fwd(q, k, v, scale)
     return o, (q, k, v, o, lse)
 
 
 def _flash_bwd(scale, res, do):
     q, k, v, o, lse = res
+    if _partitioned():
+        return _partitioned_bwd(float(scale))(q, k, v, o, lse, do)
     return _bwd_impl(q, k, v, o, lse, do, scale)
 
 

@@ -131,9 +131,12 @@ def _pallas_tiled_forward(x: Array, scale: Array, bias: Array, groups: int,
     seq = int(np.prod(x.shape[1:-1]))
     x3 = x.reshape(n, seq, c)
     tiles = seq // tile
-    member = jnp.asarray(
-        (np.arange(c) // (c // groups))[:, None] == np.arange(groups)[None, :],
-        jnp.float32)
+    # built from iota (not a numpy constant): custom_partitioning traces
+    # the surrounding impl and requires a const-free jaxpr
+    member = (jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+              // (c // groups)
+              == jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+              ).astype(jnp.float32)
 
     mean_g, inv_g = pl.pallas_call(
         functools.partial(_stats_kernel, eps=eps,
@@ -184,9 +187,12 @@ def _pallas_forward(x: Array, scale: Array, bias: Array, groups: int,
     n, c = x.shape[0], x.shape[-1]
     seq = int(np.prod(x.shape[1:-1]))
     x3 = x.reshape(n, seq, c)
-    member = jnp.asarray(
-        (np.arange(c) // (c // groups))[:, None] == np.arange(groups)[None, :],
-        jnp.float32)
+    # built from iota (not a numpy constant): custom_partitioning traces
+    # the surrounding impl and requires a const-free jaxpr
+    member = (jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
+              // (c // groups)
+              == jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+              ).astype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_gn_silu_kernel, groups=groups, eps=eps,
                           group_size=c // groups, seq=seq, silu=silu),
@@ -208,7 +214,7 @@ def _pallas_forward(x: Array, scale: Array, bias: Array, groups: int,
     return out.reshape(x.shape)
 
 
-def _dispatch_forward(x, scale, bias, groups, eps, silu):
+def _dispatch_forward_local(x, scale, bias, groups, eps, silu):
     if fits_vmem(x.shape):
         return _pallas_forward(x, scale, bias, groups, eps, silu)
     tile = _choose_tile(int(np.prod(x.shape[1:-1])), x.shape[-1],
@@ -216,6 +222,32 @@ def _dispatch_forward(x, scale, bias, groups, eps, silu):
     if tile:
         return _pallas_tiled_forward(x, scale, bias, groups, eps, tile, silu)
     return group_norm_silu_reference(x, scale, bias, groups, eps, silu)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(groups: int, eps: float, silu: bool):
+    """Batch-dim-only SPMD wrapper (ops/pallas/partition.py): per-shard
+    Pallas lowering, so VMEM-fit/tile choices see local shapes. Stats are
+    per sample, so batch sharding is exact."""
+    from .partition import batch_partitioned
+
+    def impl(x3, scale, bias):
+        return _dispatch_forward_local(x3, scale, bias, groups, eps, silu)
+
+    return batch_partitioned(impl, [0, None, None], 0,
+                             rule="n s c, c, c -> n s c",
+                             need_replication=("s", "c"))
+
+
+def _dispatch_forward(x, scale, bias, groups, eps, silu):
+    import os
+    if os.environ.get("SVDX_PARTITIONED_KERNELS", "1") == "0":
+        return _dispatch_forward_local(x, scale, bias, groups, eps, silu)
+    n, c = x.shape[0], x.shape[-1]
+    x3 = x.reshape(n, -1, c)
+    out = _partitioned_forward(groups, float(eps), bool(silu))(
+        x3, scale.reshape(c), bias.reshape(c))
+    return out.reshape(x.shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -159,3 +159,68 @@ def test_sharded_generate_matches_single_device(setup):
     # outputs agree to float noise
     np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_pallas_kernels_partition_over_batch(monkeypatch):
+    """The Pallas kernels (conv3x3 plain+fused, GroupNorm, flash attention)
+    carry SPMD rules (ops/pallas/partition.py): batch-dim sharded inputs
+    must run per-shard (no gather) and match the unsharded result. Force
+    mode exercises the real pallas path in interpret mode on the CPU mesh."""
+    from jax.sharding import NamedSharding
+    from svd_xtend_tpu.ops.pallas.conv3x3 import conv3x3_pallas
+    from svd_xtend_tpu.ops.pallas.flash_attention import flash_attention
+    from svd_xtend_tpu.ops.pallas.groupnorm import group_norm_silu
+
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "force")
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+
+    # conv3x3 with fused epilogues, batch 16 sharded 8-way
+    n, h, w, ci, co = 16, 8, 8, 128, 128
+    x = jax.random.normal(ks[0], (n, h, w, ci), jnp.float32)
+    k = jax.random.normal(ks[1], (3, 3, ci, co)) * 0.1
+    b = jax.random.normal(ks[2], (co,)) * 0.1
+    sc = jax.random.normal(ks[3], (n, ci)) * 0.3 + 1.0
+    sh = jax.random.normal(ks[4], (n, ci)) * 0.2
+    res = jax.random.normal(ks[5], (n, h, w, co))
+
+    f = lambda x, k, b, sc, sh, res: conv3x3_pallas(
+        x, k, b, pre_scale=sc, pre_shift=sh, pre_silu=True, residual=res)
+    want = jax.jit(f)(x, k, b, sc, sh, res)
+    got = jax.jit(f)(jax.device_put(x, dp), jax.device_put(k, rep),
+                     jax.device_put(b, rep), jax.device_put(sc, dp),
+                     jax.device_put(sh, dp), jax.device_put(res, dp))
+    assert got.sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # plain conv gradient under sharding
+    loss = lambda x, k, b: jnp.sum(conv3x3_pallas(x, k, b) ** 2)
+    gw = jax.jit(jax.grad(loss, argnums=(0, 1)))(x, k, b)
+    gs = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+        jax.device_put(x, dp), jax.device_put(k, rep), jax.device_put(b, rep))
+    for a, bb in zip(gs, gw):
+        # dk contracts over the sharded batch dim -> psum; reduction
+        # reassociation moves small elements by ~1e-3 relative
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=3e-3, atol=3e-3)
+
+    # GroupNorm+SiLU (pallas impl) sharded over batch
+    xg = jax.random.normal(ks[6], (16, 12, 64), jnp.float32)
+    scale = jnp.ones((64,))
+    bias = jnp.zeros((64,))
+    g = lambda x: group_norm_silu(x, scale, bias, groups=8, impl="pallas")
+    want_g = jax.jit(g)(xg)
+    got_g = jax.jit(g)(jax.device_put(xg, dp))
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=2e-5, atol=2e-5)
+
+    # flash attention: dim 0 of the folded (B*H) layout carries dp and tp
+    q = jax.random.normal(ks[7], (8, 256, 2, 64), jnp.float32)
+    fa = lambda q: flash_attention(q, q, q, scale=0.125)
+    want_a = jax.jit(fa)(q)
+    got_a = jax.jit(fa)(jax.device_put(q, dp))
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               rtol=2e-5, atol=2e-5)
