@@ -197,7 +197,12 @@ def main():
         x = jax.random.normal(ks[0], x_shape, dtype)
         k = (jax.random.normal(ks[1], (3, 3, ci, co), dtype) * 0.05)
         b = jax.random.normal(ks[2], (co,), dtype) * 0.1
-        t_xla = timed(conv_xla, x, k, b)
+        try:
+            t_xla = timed(conv_xla, x, k, b)
+        except Exception as e:
+            print(f"{n}x{h}x{w}x{ci}->{co}: xla timing failed "
+                  f"({type(e).__name__}), skipping shape", flush=True)
+            continue
         best = ("xla", 0, 0, t_xla)
         for (band, bco) in tile_candidates(h, w, ci, co, dtype.itemsize,
                                            args.quick):

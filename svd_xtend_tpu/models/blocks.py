@@ -63,7 +63,9 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
     (conv3x3_pallas_wins). Every query is recorded in the autotune shape
     registry so tracing a model yields its conv working set.
     SVDX_PALLAS_CONV: "0" disables, "force" enables off-TPU (interpret mode,
-    for tests), default auto (TPU only)."""
+    for tests), "table" trusts only tuner-validated shapes (no heuristic —
+    the safe mode for untuned operating points, since a novel shape could
+    hit a Mosaic compile bug), default auto (TPU only)."""
     import os
 
     from ..ops.pallas import autotune
@@ -94,7 +96,8 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
                            dtype.itemsize, with_res=True) > _VMEM_BUDGET:
                 band = bco = 0
         return {"band": band, "bco": bco}
-    if conv3x3_pallas_wins(x_shape, features, dtype.itemsize, with_res):
+    if mode != "table" and conv3x3_pallas_wins(x_shape, features,
+                                               dtype.itemsize, with_res):
         return {"band": 0, "bco": 0}
     return None
 

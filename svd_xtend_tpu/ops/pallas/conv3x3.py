@@ -231,7 +231,7 @@ def _plain_dispatch(x_shape, co: int, dtype) -> Optional[tuple]:
                 or not conv3x3_pallas_fits(x_shape, co, itemsize)):
             return None
         band, bco = ent.get("band", 0), ent.get("bco", 0)
-    elif conv3x3_pallas_wins(x_shape, co, itemsize):
+    elif mode != "table" and conv3x3_pallas_wins(x_shape, co, itemsize):
         band = bco = 0
     else:
         return None

@@ -399,3 +399,30 @@ def test_conv3x3_pallas_bwd_dx_dispatch(monkeypatch):
     for a, bb in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_conv3x3_dispatch_table_mode(tmp_path, monkeypatch):
+    """SVDX_PALLAS_CONV=table: only tuner-validated shapes take pallas —
+    the heuristic never fires for untuned shapes (guards Mosaic compile
+    bugs at novel operating points)."""
+    import jax
+    import jax.numpy as jnp
+    from svd_xtend_tpu.models import blocks
+    from svd_xtend_tpu.ops.pallas import autotune
+
+    path = str(tmp_path / "t.json")
+    monkeypatch.setenv("SVDX_AUTOTUNE_TABLE", path)
+    win_shape, win_co = (28, 36, 64, 640), 640     # heuristic says pallas
+
+    # pretend we are on TPU so the backend gate passes
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "1")
+    assert blocks.pallas_conv_dispatch(win_shape, win_co,
+                                       jnp.bfloat16) is not None
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "table")
+    assert blocks.pallas_conv_dispatch(win_shape, win_co, jnp.bfloat16) is None
+    autotune.save_table({autotune._key(win_shape, win_co, "bfloat16"):
+                         autotune.make_entry("pallas", 4, 128, 1.2)}, path)
+    assert blocks.pallas_conv_dispatch(win_shape, win_co,
+                                       jnp.bfloat16) == {"band": 4,
+                                                         "bco": 128}
