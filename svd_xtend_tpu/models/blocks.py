@@ -54,7 +54,7 @@ class GroupNormSiLU(nn.Module):
 
 
 def pallas_conv_dispatch(x_shape, features: int, dtype,
-                         with_res: bool = False):
+                         with_res: bool = False, fused: bool = False):
     """Decide whether Conv3x3 takes the Pallas implicit-GEMM path for this
     shape: returns {"band": b, "bco": c} (zeros = auto-pick) or None (XLA).
 
@@ -82,6 +82,10 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
     ent = autotune.lookup(x_shape, features, dtype.name)
     if ent is not None:
         if ent.get("impl") != "pallas":
+            return None
+        if fused and not ent.get("fused", True):
+            # tuner validated the plain kernel but the fused-epilogue
+            # variant failed at this shape
             return None
         if not conv3x3_pallas_fits(x_shape, features, dtype.itemsize,
                                    with_res):
@@ -138,8 +142,11 @@ class Conv3x3(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         h, w = x.shape[1], x.shape[2]
-        disp = pallas_conv_dispatch(x.shape, self.features, x.dtype,
-                                    with_res=residual is not None)
+        disp = pallas_conv_dispatch(
+            x.shape, self.features, x.dtype,
+            with_res=residual is not None,
+            fused=(pre is not None or post_shift is not None
+                   or residual is not None))
         if disp is not None:
             from ..ops.pallas.conv3x3 import conv3x3_pallas
             kw = {}
@@ -265,8 +272,8 @@ class ResnetBlock2D(nn.Module):
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
-        if pallas_conv_dispatch(x.shape, self.out_channels,
-                                self.dtype) is not None:
+        if pallas_conv_dispatch(x.shape, self.out_channels, self.dtype,
+                                fused=True) is not None:
             sc, sh = gns("norm1")(x, fold_only=True)
             h = conv("conv1")(x, pre=(sc, sh, True),
                               post_shift=t.astype(jnp.float32)
@@ -284,8 +291,8 @@ class ResnetBlock2D(nn.Module):
         dropout_active = self.dropout > 0.0 and not deterministic
         if (not dropout_active
                 and pallas_conv_dispatch(h.shape, self.out_channels,
-                                         self.dtype,
-                                         with_res=True) is not None):
+                                         self.dtype, with_res=True,
+                                         fused=True) is not None):
             sc2, sh2 = gns("norm2")(h, fold_only=True)
             return conv("conv2")(h, pre=(sc2, sh2, True), residual=skip)
         h = gns("norm2")(h)

@@ -426,3 +426,24 @@ def test_conv3x3_dispatch_table_mode(tmp_path, monkeypatch):
     assert blocks.pallas_conv_dispatch(win_shape, win_co,
                                        jnp.bfloat16) == {"band": 4,
                                                          "bco": 128}
+
+
+def test_conv3x3_dispatch_fused_capability_flag(tmp_path, monkeypatch):
+    """A table entry with fused=False keeps pallas for plain conv sites but
+    rejects fused-epilogue call sites."""
+    import jax
+    import jax.numpy as jnp
+    from svd_xtend_tpu.models import blocks
+    from svd_xtend_tpu.ops.pallas import autotune
+
+    path = str(tmp_path / "t.json")
+    monkeypatch.setenv("SVDX_AUTOTUNE_TABLE", path)
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "table")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    shape, co = (14, 320, 512, 8), 128
+    ent = autotune.make_entry("pallas", 1, 128, 2.0)
+    ent["fused"] = False
+    autotune.save_table({autotune._key(shape, co, "bfloat16"): ent}, path)
+    assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16) is not None
+    assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16,
+                                       fused=True) is None
