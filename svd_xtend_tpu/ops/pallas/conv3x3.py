@@ -44,6 +44,7 @@ def _interpret() -> bool:
 
 
 def _kernel(*refs, band: int, width: int, cin_p: int, hbands: int,
+            nbatch: int, cotiles: int,
             has_pre: bool, pre_silu: bool, has_post: bool, has_res: bool):
     it = iter(refs)
     xp_ref, k_ref, b_ref = next(it), next(it), next(it)
@@ -52,15 +53,37 @@ def _kernel(*refs, band: int, width: int, cin_p: int, hbands: int,
     post_ref = next(it) if has_post else None
     res_ref = next(it) if has_res else None
     o_ref = next(it)
-    win, wcat, sem = next(it), next(it), next(it)
+    win2, wcat, sem = next(it), next(it), next(it)
 
     n = pl.program_id(0)
+    c = pl.program_id(1)
     hb = pl.program_id(2)
-    r0 = hb * band
 
-    dma = pltpu.make_async_copy(xp_ref.at[n, pl.ds(r0, band + 2)], win, sem)
-    dma.start()
-    dma.wait()
+    # double-buffered input stream: the band DMA for grid step i+1 is issued
+    # before computing step i, so the HBM fetch overlaps the MXU dots — the
+    # serial start();wait() form measured DMA-latency-bound at big-spatial
+    # shapes (band*W small relative to the fetch latency)
+    idx = (n * cotiles + c) * hbands + hb
+    total = nbatch * cotiles * hbands
+    slot = jax.lax.rem(idx, 2)
+
+    def _issue(i, s):
+        hb_i = jax.lax.rem(i, hbands)
+        n_i = jax.lax.div(i, hbands * cotiles)
+        return pltpu.make_async_copy(
+            xp_ref.at[n_i, pl.ds(hb_i * band, band + 2)], win2.at[s],
+            sem.at[s])
+
+    @pl.when(idx == 0)
+    def _first():
+        _issue(idx, slot).start()
+
+    @pl.when(idx + 1 < total)
+    def _prefetch():
+        _issue(idx + 1, 1 - slot).start()
+
+    _issue(idx, slot).wait()
+    win = win2.at[slot]
 
     if has_pre:
         # input epilogue: y = [silu](x * sc + sh) with per-(sample, channel)
@@ -132,7 +155,7 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 def _vmem_bytes(band: int, w: int, w_env: int, ci_p: int, bco: int,
                 itemsize: int, with_res: bool = False) -> int:
-    win = (band + 2) * w_env * ci_p * itemsize          # DMA landing buffer
+    win = 2 * (band + 2) * w_env * ci_p * itemsize      # double-buffered DMA
     wcat = (band + 2) * w * 3 * ci_p * itemsize         # column-im2col scratch
     kblk = 3 * 3 * ci_p * bco * itemsize                # weight block
     oblk = band * w * bco * itemsize                    # output block
@@ -479,7 +502,8 @@ def _conv3x3_fwd_impl(x: Array, kernel: Array, bias: Array,
 
     out = pl.pallas_call(
         functools.partial(_kernel, band=band, width=w, cin_p=ci_p,
-                          hbands=h // band, has_pre=has_pre,
+                          hbands=h // band, nbatch=n, cotiles=co // bco,
+                          has_pre=has_pre,
                           pre_silu=pre_silu and has_pre, has_post=has_post,
                           has_res=has_res),
         grid=grid,
@@ -488,12 +512,12 @@ def _conv3x3_fwd_impl(x: Array, kernel: Array, bias: Array,
                                lambda n, c, hb: (n, hb, 0, c)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, co), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((band + 2, w_env, ci_p), x.dtype),
+            pltpu.VMEM((2, band + 2, w_env, ci_p), x.dtype),
             pltpu.VMEM((band + 2, w, 3 * ci_p), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )(*operands)
     return out
