@@ -54,11 +54,15 @@ def collect_shapes(height: int, width: int, frames: int, batch: int,
     h8, w8 = height // 8, width // 8
     unet = UNetSpatioTemporalConditionModel(UNetConfig(), dtype=dtype)
     rng = jax.random.PRNGKey(0)
-    lat = jnp.zeros((2 * batch, frames, h8, w8, 8), dtype)
-    t = jnp.zeros((2 * batch,), jnp.float32)
-    ctx = jnp.zeros((2 * batch, 1, clip_cfg.projection_dim), dtype)
-    added = jnp.zeros((2 * batch, 3), jnp.float32)
-    jax.eval_shape(unet.init, rng, lat, t, ctx, added)
+    # both UNet batch regimes: the CFG-stacked 2*batch call (exact path) and
+    # the single-branch batch call (the CFG-cache mode's lax.cond arms run
+    # cond/uncond separately at half batch)
+    for bb in {2 * batch, batch}:
+        lat = jnp.zeros((bb, frames, h8, w8, 8), dtype)
+        t = jnp.zeros((bb,), jnp.float32)
+        ctx = jnp.zeros((bb, 1, clip_cfg.projection_dim), dtype)
+        added = jnp.zeros((bb, 3), jnp.float32)
+        jax.eval_shape(unet.init, rng, lat, t, ctx, added)
 
     dec = TemporalDecoder(vae_cfg, dtype=dtype)
     chunk = min(8, frames)
