@@ -87,6 +87,14 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
             # tuner validated the plain kernel but the fused-epilogue
             # variant failed at this shape
             return None
+        # composition margin: a pallas_call is an HBM fusion boundary, so an
+        # isolated win below ~15% measured net-NEGATIVE end-to-end (bench
+        # A/B: the 1.0x-tail of table winners cost ~4% pipeline time) —
+        # only take the kernel where the isolated margin can survive the
+        # lost producer/consumer fusion
+        margin = float(os.environ.get("SVDX_PALLAS_CONV_MARGIN", "1.15"))
+        if ent.get("speedup", float("inf")) < margin:
+            return None
         if not conv3x3_pallas_fits(x_shape, features, dtype.itemsize,
                                    with_res):
             return None

@@ -256,6 +256,10 @@ def _plain_dispatch(x_shape, co: int, dtype) -> Optional[tuple]:
         if (ent.get("impl") != "pallas"
                 or not conv3x3_pallas_fits(x_shape, co, itemsize)):
             return None
+        # same composition margin as the module dispatch (models/blocks.py)
+        margin = float(os.environ.get("SVDX_PALLAS_CONV_MARGIN", "1.15"))
+        if ent.get("speedup", float("inf")) < margin:
+            return None
         band, bco = ent.get("band", 0), ent.get("bco", 0)
     elif mode != "table" and conv3x3_pallas_wins(x_shape, co, itemsize):
         band = bco = 0

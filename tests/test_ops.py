@@ -447,3 +447,23 @@ def test_conv3x3_dispatch_fused_capability_flag(tmp_path, monkeypatch):
     assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16) is not None
     assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16,
                                        fused=True) is None
+
+
+def test_conv3x3_dispatch_composition_margin(tmp_path, monkeypatch):
+    """Table winners below the composition margin (default 1.15x) dispatch
+    to XLA — an isolated sub-margin win loses to the pallas_call fusion
+    boundary end-to-end."""
+    import jax
+    import jax.numpy as jnp
+    from svd_xtend_tpu.models import blocks
+    from svd_xtend_tpu.ops.pallas import autotune
+
+    path = str(tmp_path / "t.json")
+    monkeypatch.setenv("SVDX_AUTOTUNE_TABLE", path)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    shape, co = (28, 20, 32, 640), 640
+    autotune.save_table({autotune._key(shape, co, "bfloat16"):
+                         autotune.make_entry("pallas", 20, 128, 1.05)}, path)
+    assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16) is None
+    monkeypatch.setenv("SVDX_PALLAS_CONV_MARGIN", "1.0")
+    assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16) is not None
