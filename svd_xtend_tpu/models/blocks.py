@@ -71,7 +71,7 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
     from ..ops.pallas import autotune
     dtype = jnp.dtype(dtype)
     autotune.record_shape(x_shape, features, dtype.name)
-    mode = os.environ.get("SVDX_PALLAS_CONV", "1")
+    mode = os.environ.get("SVDX_PALLAS_CONV", "table")
     if mode == "0" or x_shape[2] % 8 != 0:
         return None
     if jax.default_backend() != "tpu" and mode != "force":
@@ -92,7 +92,7 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
         # A/B: the 1.0x-tail of table winners cost ~4% pipeline time) —
         # only take the kernel where the isolated margin can survive the
         # lost producer/consumer fusion
-        margin = float(os.environ.get("SVDX_PALLAS_CONV_MARGIN", "1.15"))
+        margin = float(os.environ.get("SVDX_PALLAS_CONV_MARGIN", "10"))
         if ent.get("speedup", float("inf")) < margin:
             return None
         if not conv3x3_pallas_fits(x_shape, features, dtype.itemsize,
@@ -121,11 +121,14 @@ class Conv3x3(nn.Module):
     `conv3x3_fused_reference` (ops/pallas/conv3x3.py) — a plain SAME conv
     when no epilogue is given.
 
-    On TPU the Pallas implicit-GEMM kernel (ops/pallas/conv3x3.py) is used
-    at the shapes where it measured faster than XLA's conv lowering
-    (conv3x3_pallas_wins: lane-aligned or tiny Cin, Co >= 128 — 1.1-1.8x at
-    those shapes; see PERF.md). SVDX_PALLAS_CONV=0 disables it; the
-    halo-tiled XLA form (ops/conv_tiled.py) remains a separate opt-in.
+    On TPU the Pallas implicit-GEMM kernel (ops/pallas/conv3x3.py) engages
+    only through the autotune table behind a composition margin
+    (pallas_conv_dispatch) — end-to-end A/B showed isolated per-op wins
+    routinely lose to the pallas_call fusion/layout boundary (PERF.md),
+    so the default (SVDX_PALLAS_CONV=table, SVDX_PALLAS_CONV_MARGIN=10)
+    keeps XLA's conv unless a deployment lowers the margin after its own
+    whole-pipeline A/B. The halo-tiled XLA form (ops/conv_tiled.py) remains
+    a separate opt-in.
 
     Epilogues (the resnet fusion surface — see ResnetBlock2D):
       pre=(sc, sh, silu): per-(N, Cin) input affine (+SiLU) — a folded

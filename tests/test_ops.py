@@ -343,6 +343,7 @@ def test_conv3x3_autotune_table(tmp_path, monkeypatch):
 
     path = str(tmp_path / "table.json")
     monkeypatch.setenv("SVDX_AUTOTUNE_TABLE", path)
+    monkeypatch.setenv("SVDX_PALLAS_CONV_MARGIN", "1.0")
     monkeypatch.setenv("SVDX_PALLAS_CONV", "force")
 
     win_shape, win_co = (28, 36, 64, 640), 640     # heuristic: pallas
@@ -412,6 +413,7 @@ def test_conv3x3_dispatch_table_mode(tmp_path, monkeypatch):
 
     path = str(tmp_path / "t.json")
     monkeypatch.setenv("SVDX_AUTOTUNE_TABLE", path)
+    monkeypatch.setenv("SVDX_PALLAS_CONV_MARGIN", "1.0")
     win_shape, win_co = (28, 36, 64, 640), 640     # heuristic says pallas
 
     # pretend we are on TPU so the backend gate passes
@@ -438,6 +440,7 @@ def test_conv3x3_dispatch_fused_capability_flag(tmp_path, monkeypatch):
 
     path = str(tmp_path / "t.json")
     monkeypatch.setenv("SVDX_AUTOTUNE_TABLE", path)
+    monkeypatch.setenv("SVDX_PALLAS_CONV_MARGIN", "1.0")
     monkeypatch.setenv("SVDX_PALLAS_CONV", "table")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     shape, co = (14, 320, 512, 8), 128
