@@ -1,6 +1,9 @@
 """Capture a device trace of one UNet step (bench operating point) and print
-the per-op time breakdown, grouped by op category. Uses jax.profiler +
-tensorboard_plugin_profile's xplane parser.
+per-op time grouped by category AND by module, using the compiled HLO's
+op_name metadata to attribute fusion kernels correctly — XLA lowers e.g.
+the up-block concat-input convs as `fusion.N` ops, so name-only
+categorization badly misbins them (an early version reported 40%
+"elementwise" that was mostly convolutions).
 
 Usage: python scripts/trace_unet.py [--out /tmp/unet_trace]
 """
@@ -8,11 +11,9 @@ Usage: python scripts/trace_unet.py [--out /tmp/unet_trace]
 import argparse
 import glob
 import os
+import re
 import sys
 from collections import defaultdict
-
-# the installed tensorboard_plugin_profile ships old-style generated protos
-os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,23 +26,34 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def categorize(name: str) -> str:
+def categorize(name: str, op: str) -> str:
     n = name.lower()
-    if "conv" in n:
+    if "conv_general_dilated" in op or "conv" in n:
         return "convolution"
-    if "attn" in n or "flash" in n:
+    if "flash" in n or "attn1" in n:
         return "flash-attention (pallas)"
-    if "group_norm" in n or "groupnorm" in n or "gn_" in n:
-        return "groupnorm (pallas)"
-    if "dot" in n or "einsum" in n or "matmul" in n:
+    if "gn_" in n or "GroupNormSiLU" in op or "group_norm" in op:
+        return "groupnorm"
+    if "FrameAxisAttention" in op:
+        return "temporal-attention"
+    if "TemporalConv" in op or "temporal_res_block" in op:
+        return "temporal-resnet"
+    if "AlphaBlender" in op or "mix_factor" in op:
+        return "alpha-blend"
+    if "FeedForward" in op or "geglu" in op.lower():
+        return "feed-forward"
+    if "dot_general" in op or "dot" in n or "einsum" in op:
         return "matmul"
-    if "copy" in n or "transpose" in n or "reshape" in n or "bitcast" in n:
+    if "copy" in n or "transpose" in n or "bitcast" in n:
         return "layout/copy"
-    if "fusion" in n:
-        return "fusion (elementwise/softmax/etc)"
-    if "reduce" in n:
+    if "reduce" in n or "reduce" in op:
         return "reduce"
     return "other"
+
+
+_MODULE_RE = re.compile(
+    r"(down_blocks_\d|mid_block|up_blocks_\d|conv_in|conv_out|conv_norm_out|"
+    r"time_embedding|add_embedding)")
 
 
 def main():
@@ -61,14 +73,20 @@ def main():
     ids = jnp.zeros((2, 3), jnp.float32)
     f = jax.jit(lambda p, x: unet.apply({"params": p}, x, t, ehs, ids))
     pull = lambda o: jax.device_get(jnp.sum(o.astype(jnp.float32)))
-    pull(f(params["unet"], x))     # compile
+    compiled = f.lower(params["unet"], x).compile()
+    pull(compiled(params["unet"], x))     # warm
+
+    # hlo-name -> op_name metadata (module path) map for attribution
+    op_of = {}
+    for m in re.finditer(r"%([\w.\-]+) = [^\n]*?op_name=\"([^\"]+)\"",
+                         compiled.as_text()):
+        op_of[m.group(1)] = m.group(2)
 
     jax.profiler.start_trace(args.out)
     for _ in range(3):
-        pull(f(params["unet"], x))
+        pull(compiled(params["unet"], x))
     jax.profiler.stop_trace()
 
-    # parse the chrome-trace JSON the profiler writes alongside the xplane
     import gzip
     import json
     traces = glob.glob(os.path.join(args.out, "**", "*.trace.json.gz"),
@@ -79,8 +97,6 @@ def main():
     with gzip.open(sorted(traces)[-1], "rt") as fh:
         data = json.load(fh)
     events = data.get("traceEvents", [])
-    # device lanes: pick pids whose process name mentions TPU/device; fall
-    # back to every complete ('X') event if none matches
     proc_names = {e.get("pid"): e.get("args", {}).get("name", "")
                   for e in events if e.get("ph") == "M"
                   and e.get("name") == "process_name"}
@@ -102,16 +118,24 @@ def main():
 
     total = sum(per_op.values())
     cats = defaultdict(float)
+    mods = defaultdict(float)
     for name, ms in per_op.items():
-        cats[categorize(name)] += ms
+        op = op_of.get(name, "")
+        cats[categorize(name, op)] += ms
+        seg = _MODULE_RE.search(op)
+        mods[seg.group(1) if seg else "(unattributed)"] += ms
     print(f"\ntotal device time (3 steps): {total:.1f} ms "
           f"({total / 3:.1f} ms/step)\n")
     print("by category:")
     for c, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {c:38s} {ms / 3:8.2f} ms/step  {100 * ms / total:5.1f}%")
+    print("\nby module:")
+    for c, ms in sorted(mods.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"  {c:38s} {ms / 3:8.2f} ms/step  {100 * ms / total:5.1f}%")
     print(f"\ntop {args.top} ops:")
     for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"  {ms / 3:8.3f} ms/step  {name[:100]}")
+        op = op_of.get(name, "")
+        print(f"  {ms / 3:8.3f} ms/step  {name[:40]:40s} {op[-70:]}")
 
 
 if __name__ == "__main__":
