@@ -206,6 +206,13 @@ def main():
             entries[autotune._key(x_shape, co, dtype_str)] = \
                 autotune.make_entry("xla")
             continue
+        # HBM guard: the chained-timing working set is ~3 activations + the
+        # weight; skip monsters rather than OOM the chip mid-sweep
+        act_bytes = n * h * w * max(ci, co) * dtype.itemsize
+        if act_bytes * 3.5 > 10 * 1024 ** 3:
+            print(f"{n}x{h}x{w}x{ci}->{co}: skipped (activation "
+                  f"{act_bytes/2**30:.1f} GiB, would OOM the sweep)")
+            continue
         ks = jax.random.split(key, 3)
         x = jax.random.normal(ks[0], x_shape, dtype)
         # variance-preserving scale: lets square shapes chain outputs
@@ -250,6 +257,10 @@ def main():
         extra = f" band={band} bco={bco} {speedup:.2f}x" if impl == "pallas" else ""
         print(f"{n}x{h}x{w}x{ci}->{co}: {impl}{extra}  "
               f"(xla {t_xla*1e3:.3f} ms, best {t*1e3:.3f} ms)", flush=True)
+        # incremental save (merge) — a crash mid-sweep loses nothing
+        autotune.save_table(entries, args.out,
+                            device_kind=jax.devices()[0].device_kind)
+        x = k = b = None
 
     path = autotune.save_table(entries, args.out,
                                device_kind=jax.devices()[0].device_kind)
