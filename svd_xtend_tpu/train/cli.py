@@ -84,7 +84,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--num_validation_images", type=int, default=1)
     p.add_argument("--num_inference_steps", type=int, default=25)
     p.add_argument("--report_to", default="tensorboard",
-                   help="tensorboard|wandb|all (wandb used when importable)")
+                   help="tensorboard|wandb|comet_ml|all (train_svd.py:508-516; "
+                        "each used when importable)")
     p.add_argument("--push_to_hub", action="store_true",
                    help="upload final model to the HF hub (needs network)")
     p.add_argument("--hub_model_id", default="")

@@ -37,6 +37,7 @@ class MetricWriter:
         self.enabled = jax.process_index() == 0
         self._tb = None
         self._wandb = None
+        self._comet = None
         self._jsonl = None
         if not self.enabled:
             return
@@ -56,6 +57,13 @@ class MetricWriter:
                 self._wandb = wandb.init(project=project, dir=logdir)
             except Exception:
                 self._wandb = None
+        if report_to in ("comet_ml", "all"):
+            # the reference's third tracker choice (train_svd.py:508-516)
+            try:
+                import comet_ml
+                self._comet = comet_ml.Experiment(project_name=project)
+            except Exception:
+                self._comet = None
 
     def write(self, step: int, metrics: Dict[str, float]):
         if not self.enabled:
@@ -69,6 +77,8 @@ class MetricWriter:
                 self._tb.add_scalar(k, v, step)
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
+        if self._comet is not None:
+            self._comet.log_metrics(metrics, step=step)
 
     def close(self):
         if self._jsonl:
@@ -77,3 +87,5 @@ class MetricWriter:
             self._tb.close()
         if self._wandb is not None:
             self._wandb.finish()
+        if self._comet is not None:
+            self._comet.end()
