@@ -60,6 +60,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/unet_trace")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--category", default=None,
+                    help="restrict the top-op listing to one category "
+                         "(e.g. 'layout/copy')")
     args = ap.parse_args()
 
     from svd_xtend_tpu.diffusion.pipeline import SVDModels, init_pipeline_params
@@ -133,7 +136,11 @@ def main():
     for c, ms in sorted(mods.items(), key=lambda kv: -kv[1])[:12]:
         print(f"  {c:38s} {ms / 3:8.2f} ms/step  {100 * ms / total:5.1f}%")
     print(f"\ntop {args.top} ops:")
-    for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:args.top]:
+    ranked = sorted(per_op.items(), key=lambda kv: -kv[1])
+    if args.category:
+        ranked = [(n, ms) for n, ms in ranked
+                  if categorize(n, op_of.get(n, "")) == args.category]
+    for name, ms in ranked[:args.top]:
         op = op_of.get(name, "")
         print(f"  {ms / 3:8.3f} ms/step  {name[:40]:40s} {op[-70:]}")
 

@@ -208,6 +208,17 @@ class FrameAxisAttention(nn.Module):
         if context is None:
             k = dense(inner, "to_k")(x)
             v = dense(inner, "to_v")(x)
+            from ..ops.pallas import temporal_attention as ta
+            if (jax.default_backend() == "tpu" and ta.enabled()
+                    and self.head_dim == ta.HEAD_DIM
+                    and ta.supports(f, s, inner)):
+                # fused kernel consumes/produces the projections' native
+                # (B, F, S, N) layout — removes the q/k/v reshape copies,
+                # output transpose and lane-starved softmax the einsum
+                # lowering pays (~2.5 ms -> roofline at L0, PERF.md)
+                o = ta.frame_attention(q, k, v, num_heads=self.num_heads,
+                                       scale=scale)
+                return dense(out_dim, "to_out")(o)
             q = q.reshape(b, f, s, self.num_heads, self.head_dim)
             k = k.reshape(b, f, s, self.num_heads, self.head_dim)
             v = v.reshape(b, f, s, self.num_heads, self.head_dim)
