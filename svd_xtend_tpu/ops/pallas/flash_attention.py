@@ -38,6 +38,18 @@ BLOCK = 128
 LANES = 128
 SUBS = 8          # sublane replication for the (BH, 8, S) stat tensors
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
+
+# Forward block sizes measured on v5e (scripts/microbench_flash_variants.py
+# + block sweep, PERF.md session-7): per-shape winners for the SVD spatial
+# sequence lengths at the two operating points. vs the old fixed-512 blocks:
+# s=2560 6.24->4.44 ms, s=2304 16.7->7.4 ms, s=9216 133->85 ms.
+_FWD_BLOCKS = {2560: (1280, 1280), 2304: (1152, 2304), 9216: (1024, 1536)}
+# Backward holds TWO (bq, bkm) fp32 temporaries (scores + dp), so its VMEM
+# ceiling is lower — the fwd (1152, 2304) entry fails to compile there.
+# Measured bwd winners (v5e): s=2560 8.2->5.4 ms, s=2304 22.4->9.2 ms,
+# s=9216 167->108 ms vs the old fixed 512/256/128 blocks.
+_BWD_BLOCKS = {2560: (1280, 1280), 2304: (1152, 1152), 9216: (1024, 1536)}
 
 
 def _choose_block(s: int, candidates=(512, 256, 128)) -> int:
@@ -48,6 +60,40 @@ def _choose_block(s: int, candidates=(512, 256, 128)) -> int:
     raise ValueError(f"sequence {s} not divisible by {BLOCK}")
 
 
+def _largest_div(s: int, cap: int) -> int:
+    """Largest multiple of 128 dividing s, at most cap."""
+    best = 0
+    c = BLOCK
+    while c <= cap:
+        if s % c == 0:
+            best = c
+        c += BLOCK
+    if best == 0:
+        raise ValueError(f"sequence {s} not divisible by {BLOCK}")
+    return best
+
+
+def _fwd_blocks(s_q: int, s_kv: int) -> Tuple[int, int]:
+    """(bq, bkm) for the forward kernel: tuned table, else a heuristic that
+    prefers wide KV tiles (fewer softmax-stat updates) under a ~6.5 MB
+    fp32 score-tile VMEM budget (the measured sweet spot)."""
+    if s_q == s_kv and s_q in _FWD_BLOCKS:
+        return _FWD_BLOCKS[s_q]
+    bkm = _largest_div(s_kv, cap=1536)
+    bq = _largest_div(s_q, cap=min(1280, (1280 * 1280) // bkm))
+    return bq, bkm
+
+
+def _bwd_blocks(s_q: int, s_kv: int) -> Tuple[int, int]:
+    """Like _fwd_blocks but with the tighter backward VMEM budget
+    (bq * bkm capped at 1280^2 fp32 elements per temporary)."""
+    if s_q == s_kv and s_q in _BWD_BLOCKS:
+        return _BWD_BLOCKS[s_q]
+    bkm = _largest_div(s_kv, cap=1536)
+    bq = _largest_div(s_q, cap=min(1280, (1280 * 1280) // bkm))
+    return bq, bkm
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -55,7 +101,8 @@ def _interpret() -> bool:
 # ------------------------------------------------------------- forward -----
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale: float, kv_tiles: int, bq: int, bkm: int):
+                *, scale: float, kv_tiles: int, bq: int, bkm: int,
+                major: bool):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -66,43 +113,75 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
     q = q_ref[0]                                     # (bq, D)
     d = acc_scr.shape[-1]
-    # inner loop over BLOCK-sized KV sub-tiles of the (1, bkm, D) major tile
-    for j in range(bkm // BLOCK):
-        k = k_ref[0, pl.ds(j * BLOCK, BLOCK), :]     # (BLOCK, D)
-        v = v_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+    if major:
+        # One (bq, bkm) score dot and ONE softmax-stat update per KV major
+        # tile (vs one per 128-wide sub-tile below): ~bkm/128 x fewer
+        # max/alpha/rescale passes, and exp2 with log2(e) folded into the
+        # QK scale (the VPU's native exponential; measured 37.7 -> 46.4
+        # TFLOP/s at s=2560 before block retuning, PERF.md session-7).
+        # m/l scratch then hold base-2 stats; lse converts at finalize.
+        k = k_ref[0]                                 # (bkm, D)
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32
+                                ) * (scale * LOG2E)
         m_prev = m_scr[...]                          # (bq, 128) lane-replicated
         l_prev = l_scr[...]
         m_curr = jax.lax.broadcast_in_dim(jnp.max(s, axis=1), (bq, LANES), (0,))
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :BLOCK])           # (bq, BLOCK)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - jax.lax.broadcast_in_dim(m_next[:, 0], (bq, bkm), (0,)))
         l_curr = jax.lax.broadcast_in_dim(jnp.sum(p, axis=1), (bq, LANES), (0,))
-        l_next = alpha * l_prev + l_curr
         m_scr[...] = m_next
-        l_scr[...] = l_next
+        l_scr[...] = alpha * l_prev + l_curr
         acc_scr[...] = acc_scr[...] * alpha[:, :d] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    else:
+        # inner loop over BLOCK-sized KV sub-tiles of the (1, bkm, D) major
+        # tile — kept for sequences whose largest 128-multiple divisor is
+        # < 512, where the major-tile form measured slower
+        for j in range(bkm // BLOCK):
+            k = k_ref[0, pl.ds(j * BLOCK, BLOCK), :]     # (BLOCK, D)
+            v = v_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            m_prev = m_scr[...]                      # (bq, 128) lane-replicated
+            l_prev = l_scr[...]
+            m_curr = jax.lax.broadcast_in_dim(jnp.max(s, axis=1), (bq, LANES),
+                                              (0,))
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :BLOCK])       # (bq, BLOCK)
+            l_curr = jax.lax.broadcast_in_dim(jnp.sum(p, axis=1), (bq, LANES),
+                                              (0,))
+            l_next = alpha * l_prev + l_curr
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+            acc_scr[...] = acc_scr[...] * alpha[:, :d] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     @pl.when(ki == kv_tiles - 1)
     def _finalize():
         l = l_scr[...]
         o_ref[0] = (acc_scr[...] / jnp.where(l[:, :d] == 0.0, 1.0, l[:, :d])
                     ).astype(o_ref.dtype)
-        lse = m_scr[...] + jnp.log(jnp.maximum(l, 1e-30))   # (bq, 128)
+        if major:                                    # base-2 -> natural lse
+            lse = m_scr[...] / LOG2E + jnp.log(jnp.maximum(l, 1e-30))
+        else:
+            lse = m_scr[...] + jnp.log(jnp.maximum(l, 1e-30))   # (bq, 128)
         lse_ref[0] = lse[:, :SUBS].T                          # (8, bq)
 
 
 def _fwd(q: Array, k: Array, v: Array, scale: float) -> Tuple[Array, Array]:
     bh, s_q, d = q.shape
     s_kv = k.shape[1]
-    bq, bkm = _choose_block(s_q), _choose_block(s_kv)
+    bq, bkm = _fwd_blocks(s_q, s_kv)
+    major = bkm >= 512
     kv_tiles = s_kv // bkm
     grid = (bh, s_q // bq, kv_tiles)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, kv_tiles=kv_tiles,
-                          bq=bq, bkm=bkm),
+                          bq=bq, bkm=bkm, major=major),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
@@ -132,7 +211,7 @@ def _fwd(q: Array, k: Array, v: Array, scale: float) -> Tuple[Array, Array]:
 # ------------------------------------------------------------ backward -----
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
-               *, scale: float, kv_tiles: int, bkm: int):
+               *, scale: float, kv_tiles: int, bkm: int, major: bool):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -141,21 +220,40 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
 
     q = q_ref[0]
     do = do_ref[0].astype(jnp.float32)
-    lse_col = lse_ref[0][0:1, :].T                   # (bq, 1)
-    delta_col = delta_ref[0][0:1, :].T               # (bq, 1)
-
-    for j in range(bkm // BLOCK):
-        k = k_ref[0, pl.ds(j * BLOCK, BLOCK), :]
-        v = v_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+    if major:
+        # No online stats in backward (LSE is precomputed), so the major-tile
+        # form is pure blocking: one wide score dot + exp2 (log2(e) folded
+        # into the scale AND the lse column) per KV major tile. Measured
+        # 1.5-2.4x vs the sub-tile loop (PERF.md session-7).
+        lse_col = lse_ref[0][0:1, :].T * LOG2E       # (bq, 1), base-2 units
+        delta_col = delta_ref[0][0:1, :].T
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse_col)                     # (bq, BLOCK)
+                                preferred_element_type=jnp.float32
+                                ) * (scale * LOG2E)
+        p = jnp.exp2(s - lse_col)                    # (bq, bkm)
         dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                                  (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta_col) * scale
         dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
                                    preferred_element_type=jnp.float32)
+    else:
+        lse_col = lse_ref[0][0:1, :].T               # (bq, 1)
+        delta_col = delta_ref[0][0:1, :].T           # (bq, 1)
+        for j in range(bkm // BLOCK):
+            k = k_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+            v = v_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            p = jnp.exp(s - lse_col)                 # (bq, BLOCK)
+            dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - delta_col) * scale
+            dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                                       preferred_element_type=jnp.float32)
 
     @pl.when(ki == kv_tiles - 1)
     def _finalize():
@@ -164,7 +262,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, q_tiles: int,
-                bqm: int):
+                bqm: int, major: bool):
     qi = pl.program_id(2)
 
     @pl.when(qi == 0)
@@ -175,14 +273,15 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]
     v = v_ref[0]
 
-    for j in range(bqm // BLOCK):
-        q = q_ref[0, pl.ds(j * BLOCK, BLOCK), :]
-        do = do_ref[0, pl.ds(j * BLOCK, BLOCK), :].astype(jnp.float32)
-        lse_row = lse_ref[0, 0:1, pl.ds(j * BLOCK, BLOCK)]     # (1, BLOCK)
-        delta_row = delta_ref[0, 0:1, pl.ds(j * BLOCK, BLOCK)]
+    if major:
+        q = q_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse_row = lse_ref[0, 0:1, :] * LOG2E         # (1, bqm), base-2 units
+        delta_row = delta_ref[0, 0:1, :]
         st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        pt = jnp.exp(st - lse_row)                   # (bk, BLOCK)
+                                 preferred_element_type=jnp.float32
+                                 ) * (scale * LOG2E)
+        pt = jnp.exp2(st - lse_row)                  # (bk, bqm)
         dv_scr[...] += jax.lax.dot(pt.astype(do.dtype), do,
                                    preferred_element_type=jnp.float32)
         dpt = jax.lax.dot_general(v.astype(jnp.float32), do,
@@ -191,6 +290,23 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dst = pt * (dpt - delta_row) * scale
         dk_scr[...] += jax.lax.dot(dst.astype(q.dtype), q,
                                    preferred_element_type=jnp.float32)
+    else:
+        for j in range(bqm // BLOCK):
+            q = q_ref[0, pl.ds(j * BLOCK, BLOCK), :]
+            do = do_ref[0, pl.ds(j * BLOCK, BLOCK), :].astype(jnp.float32)
+            lse_row = lse_ref[0, 0:1, pl.ds(j * BLOCK, BLOCK)]   # (1, BLOCK)
+            delta_row = delta_ref[0, 0:1, pl.ds(j * BLOCK, BLOCK)]
+            st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+            pt = jnp.exp(st - lse_row)               # (bk, BLOCK)
+            dv_scr[...] += jax.lax.dot(pt.astype(do.dtype), do,
+                                       preferred_element_type=jnp.float32)
+            dpt = jax.lax.dot_general(v.astype(jnp.float32), do,
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dst = pt * (dpt - delta_row) * scale
+            dk_scr[...] += jax.lax.dot(dst.astype(q.dtype), q,
+                                       preferred_element_type=jnp.float32)
 
     @pl.when(qi == q_tiles - 1)
     def _finalize():
@@ -201,7 +317,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _bwd_impl(q, k, v, o, lse, do, scale):
     bh, s_q, d = q.shape
     s_kv = k.shape[1]
-    bq, bkm = _choose_block(s_q), _choose_block(s_kv)
+    bq, bkm = _bwd_blocks(s_q, s_kv)
+    major = bkm >= 512 and bq >= 512
     q_tiles, kv_tiles = s_q // bq, s_kv // bkm
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[:, None, :], (bh, SUBS, s_q))
@@ -209,7 +326,8 @@ def _bwd_impl(q, k, v, o, lse, do, scale):
     lanes_spec = pl.BlockSpec((1, SUBS, bq), lambda b, i, j: (b, 0, i))
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, kv_tiles=kv_tiles, bkm=bkm),
+        functools.partial(_dq_kernel, scale=scale, kv_tiles=kv_tiles,
+                          bkm=bkm, major=major),
         grid=(bh, q_tiles, kv_tiles),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, qi, ki: (b, qi, 0)),
@@ -229,7 +347,8 @@ def _bwd_impl(q, k, v, o, lse, do, scale):
 
     lanes_spec_q = pl.BlockSpec((1, SUBS, bq), lambda b, ki, qi: (b, 0, qi))
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, q_tiles=q_tiles, bqm=bq),
+        functools.partial(_dkv_kernel, scale=scale, q_tiles=q_tiles,
+                          bqm=bq, major=major),
         grid=(bh, kv_tiles, q_tiles),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, ki, qi: (b, qi, 0)),

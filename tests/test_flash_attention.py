@@ -27,7 +27,10 @@ def test_supports_gate():
     assert not supports((1, 256, 2, 256), 256)   # head_dim too large
 
 
-@pytest.mark.parametrize("s,d", [(128, 64), (256, 64), (384, 128)])
+# s=512 exercises the major-tile exp2 forward organization (bkm >= 512);
+# smaller sequences take the per-128-sub-tile base path
+@pytest.mark.parametrize("s,d", [(128, 64), (256, 64), (384, 128), (512, 64),
+                                 (1024, 64)])
 def test_forward_parity(s, d):
     q, k, v = _qkv(s=s, d=d)
     scale = d ** -0.5
@@ -46,9 +49,11 @@ def test_forward_parity_bf16():
                                atol=3e-2, rtol=3e-2)
 
 
-def test_forward_extreme_logits():
-    """Online softmax must stay stable for large-magnitude scores."""
-    q, k, v = _qkv(s=128, d=64)
+@pytest.mark.parametrize("s", [128, 512])
+def test_forward_extreme_logits(s):
+    """Online softmax must stay stable for large-magnitude scores
+    (both the base and major-tile exp2 organizations)."""
+    q, k, v = _qkv(s=s, d=64)
     out = flash_attention(10.0 * q, 10.0 * k, v, scale=1.0)
     expected = _xla_attention(10.0 * q, 10.0 * k, v, 1.0)
     assert np.isfinite(np.asarray(out)).all()
@@ -56,8 +61,11 @@ def test_forward_extreme_logits():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_backward_parity():
-    q, k, v = _qkv(s=256, d=64)
+# s=512: backward consumes the LSE emitted by the major-tile exp2 forward
+# (base-2 stats converted to natural log at finalize) — parity checks that
+@pytest.mark.parametrize("s", [256, 512])
+def test_backward_parity(s):
+    q, k, v = _qkv(s=s, d=64)
     scale = 64 ** -0.5
     cot = jax.random.normal(jax.random.PRNGKey(9), q.shape)
 
