@@ -37,10 +37,11 @@ def _flash_ok(q: Array, k: Array) -> bool:
     if jax.default_backend() != "tpu":
         return False
     s, t, d = q.shape[1], k.shape[1], q.shape[3]
-    # flash pays off for long sequences (measured on v5e at the SVD operating
-    # points: 2560 tokens 1.6x faster, 640 tokens slower than XLA — see
-    # scripts/microbench_ops.py); needs 128-tile-aligned sequences
-    return s >= 1024 and t >= 1024 and s % 128 == 0 and t % 128 == 0 and d <= 128
+    # With the major-tile/exp2 forward (PERF.md session-7) flash beats the
+    # XLA einsum at every measured 128-aligned length (s=640: 1.29 -> 0.78
+    # ms, even s=256 wins) — the old >=1024 threshold dated from the
+    # 128-wide-block kernel. Only tile alignment gates now.
+    return s % 128 == 0 and t % 128 == 0 and d <= 128
 
 
 def dot_product_attention(
