@@ -163,7 +163,6 @@ def decode_latents_chunked(models: SVDModels, params: dict, latents: Array,
     return frames[:, :f].astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("models", "config"))
 def generate(
     models: SVDModels,
     params: dict,
@@ -173,7 +172,27 @@ def generate(
     boxes: Optional[Array] = None,      # (B, F, N, 4) Tracklet2Video cond
     box_mask: Optional[Array] = None,   # (B, F, N)
 ) -> Array:
-    """img2vid: returns (B, F, H, W, 3) pixels in [-1, 1]."""
+    """img2vid: returns (B, F, H, W, 3) pixels in [-1, 1].
+
+    config.unet_quant sets the ambient quant mode for the duration of the
+    trace (Conv3x3 dispatch reads it at trace time; config is a static jit
+    arg, so each mode compiles separately and cache hits are mode-correct).
+    """
+    from ..ops import quant
+    with quant.quantized(config.unet_quant):
+        return _generate(models, params, image, rng, config, boxes, box_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("models", "config"))
+def _generate(
+    models: SVDModels,
+    params: dict,
+    image: Array,
+    rng: Array,
+    config: PipelineConfig = PipelineConfig(),
+    boxes: Optional[Array] = None,
+    box_mask: Optional[Array] = None,
+) -> Array:
     cfg = config
     b = image.shape[0]
     f = cfg.num_frames

@@ -153,6 +153,23 @@ class Conv3x3(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         h, w = x.shape[1], x.shape[2]
+        from ..ops import quant
+        if quant.get_mode() == "int8" and quant.int8_conv_wins(
+                x.shape, self.features):
+            # opt-in W8A8 path (PipelineConfig.unet_quant): the GN-fold
+            # affine must run in bf16 BEFORE activation quantization, so the
+            # Pallas fused-epilogue trick doesn't compose here — the int8
+            # MXU win (measured >=1.15x per shape) pays for the extra pass
+            if pre is not None:
+                sc, sh, do_silu = pre
+                xv = (x.astype(jnp.float32)
+                      * sc[:, None, None, :].astype(jnp.float32)
+                      + sh[:, None, None, :].astype(jnp.float32))
+                if do_silu:
+                    xv = xv * jax.nn.sigmoid(xv)
+                x = xv.astype(x.dtype)
+            return quant.int8_conv3x3(x, kernel, bias, post_shift=post_shift,
+                                      residual=residual)
         disp = pallas_conv_dispatch(
             x.shape, self.features, x.dtype,
             with_res=residual is not None,

@@ -1,0 +1,178 @@
+"""Opt-in int8 (W8A8) inference quantization for the UNet's spatial convs.
+
+The v5e MXU runs int8 at 2x the bf16 rate; measured per-shape on the model's
+conv working set the win is real but shape-dependent (1.4-2.2x where Cin is
+a 128 multiple and the spatial extent is large; a LOSS at 320/960-channel
+and small-spatial shapes — see scripts/tune_int8.py output in PERF.md). So
+int8 engages exactly like the Pallas conv: through a measured per-shape
+winner table, never by blanket rule.
+
+Scheme (the standard diffusion W8A8 recipe):
+  - weights: symmetric per-output-channel int8, s_w[Co] = amax|w| / 127,
+    quantized at trace time from the bf16 params (XLA hoists the
+    loop-invariant quantization out of the sampler's scan);
+  - activations: symmetric per-tensor DYNAMIC int8 (scale from the live
+    amax each call — no calibration pass needed, robust to CFG's
+    two-population batch);
+  - accumulate int32 on the MXU, dequantize by s_x * s_w[Co] into the bf16
+    epilogue (bias, time-emb shift, residual).
+
+Exactness: this is approximate (default OFF — PipelineConfig.unet_quant).
+Error is bounded by the two rounding steps (~0.4 % rms each); parity vs the
+bf16 conv is tested at tests/test_quant.py. Quality on real SVD weights
+should be validated per deployment (the reference has no quantized path at
+all — this is a capability beyond train_svd.py's fp16 inference).
+
+The reference's closest analog is bitsandbytes' 8-bit OPTIMIZER
+(train_svd.py:746-756, handled by train/quant.py); compute-path int8 has no
+reference counterpart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from contextlib import contextmanager
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_INT8_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "int8_conv_table.json")
+
+_lock = threading.Lock()
+_table: Optional[Dict[str, dict]] = None
+_mode: Optional[str] = None
+
+
+# ------------------------------------------------------------ mode gate ----
+
+def set_mode(mode: Optional[str]) -> None:
+    """Ambient quantization mode, read by Conv3x3 dispatch at TRACE time.
+    The pipeline sets this from PipelineConfig.unet_quant around tracing;
+    configs differing in unet_quant produce distinct jit cache entries, so
+    the trace-time read is safe."""
+    global _mode
+    if mode not in (None, "int8"):
+        raise ValueError(f"unknown quant mode {mode!r}")
+    _mode = mode
+
+
+def get_mode() -> Optional[str]:
+    if os.environ.get("SVDX_INT8_CONV") == "0":
+        return None
+    return _mode
+
+
+@contextmanager
+def quantized(mode: Optional[str]):
+    prev = _mode
+    set_mode(mode)
+    try:
+        yield
+    finally:
+        set_mode(prev)
+
+
+# ---------------------------------------------------------- winner table ---
+
+def _key(x_shape, co: int) -> str:
+    n, h, w, ci = x_shape
+    return f"{n},{h},{w},{ci},{co}"
+
+
+def _load_table() -> Dict[str, dict]:
+    global _table
+    path = os.environ.get("SVDX_INT8_TABLE", _INT8_TABLE)
+    with _lock:
+        if _table is not None:
+            return _table
+        try:
+            with open(path) as f:
+                _table = json.load(f).get("entries", {})
+        except (OSError, ValueError):
+            _table = {}
+        return _table
+
+
+def save_table(entries: Dict[str, dict], path: Optional[str] = None,
+               device_kind: str = "") -> str:
+    global _table
+    path = path or os.environ.get("SVDX_INT8_TABLE", _INT8_TABLE)
+    merged: Dict[str, dict] = {}
+    try:
+        with open(path) as f:
+            merged = json.load(f).get("entries", {})
+    except (OSError, ValueError):
+        pass
+    merged.update(entries)
+    with open(path, "w") as f:
+        json.dump({"device_kind": device_kind, "entries": merged}, f,
+                  indent=1, sort_keys=True)
+    with _lock:
+        _table = None
+    return path
+
+
+def int8_conv_wins(x_shape, co: int) -> bool:
+    """True iff the tuner measured int8 faster than the bf16 conv at this
+    exact shape by at least the composition margin (same rationale as the
+    Pallas conv margin: the quantize/dequantize ops sit outside XLA's
+    conv fusion, so thin isolated wins lose end-to-end).
+    SVDX_INT8_FORCE=1 bypasses the table (tests / new-shape probing)."""
+    if os.environ.get("SVDX_INT8_FORCE") == "1":
+        return True
+    ent = _load_table().get(_key(x_shape, co))
+    if ent is None:
+        return False
+    margin = float(os.environ.get("SVDX_INT8_MARGIN", "15"))
+    return ent.get("speedup", 0.0) >= 1.0 + margin / 100.0
+
+
+# ------------------------------------------------------------- the ops -----
+
+def quantize_dynamic(x: Array) -> tuple[Array, Array]:
+    """Symmetric per-tensor dynamic int8: returns (x_q, scale_f32)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
+                  ).astype(jnp.int8)
+    return xq, scale
+
+
+def quantize_weight_per_co(w: Array) -> tuple[Array, Array]:
+    """Symmetric per-output-channel int8 for an HWIO kernel:
+    returns (w_q, scale_f32[Co])."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127
+                  ).astype(jnp.int8)
+    return wq, scale
+
+
+def int8_conv3x3(x: Array, kernel: Array, bias: Optional[Array] = None,
+                 post_shift: Optional[Array] = None,
+                 residual: Optional[Array] = None) -> Array:
+    """3x3 SAME conv computed on the int8 MXU path, numerically the W8A8
+    dynamic-quant approximation of conv3x3_fused_reference (without `pre`,
+    which the caller applies in bf16 before quantization)."""
+    xq, sx = quantize_dynamic(x)
+    wq, sw = quantize_weight_per_co(kernel)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (sx * sw)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    y = y.astype(x.dtype)
+    if post_shift is not None:
+        y = y + post_shift[:, None, None, :].astype(y.dtype)
+    if residual is not None:
+        y = y + residual
+    return y

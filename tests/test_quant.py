@@ -1,124 +1,104 @@
-"""Blockwise-int8 Adam (train/quant.py) — the reference's --use_8bit_adam
-analog (train_svd.py:746-756). Round-trip error bounds, trajectory parity
-with fp32 Adam, memory layout, and jit/sharding compatibility."""
+"""W8A8 int8 conv path (ops/quant.py): quantizer invariants, conv parity
+within quantization-noise bounds, dispatch gating, and the opt-in
+pipeline wiring (PipelineConfig.unet_quant)."""
+
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import pytest
 
-from svd_xtend_tpu.train.quant import (Quantized, adamw_8bit,
-                                       dequantize_blockwise, dequantize_sqrt,
-                                       quantize_blockwise, quantize_sqrt,
-                                       scale_by_adam_8bit)
+from svd_xtend_tpu.ops import quant
+from svd_xtend_tpu.ops.pallas.conv3x3 import conv3x3_fused_reference
 
 
-def test_quantize_roundtrip_error_bound():
-    x = jax.random.normal(jax.random.PRNGKey(0), (300, 37)) * 3.0
-    qt = quantize_blockwise(x, block_size=256)
-    y = dequantize_blockwise(qt, x.shape)
-    assert qt.q.dtype == jnp.int8
-    # per-block error <= absmax/254 (round-to-nearest of absmax/127 steps)
-    err = np.abs(np.asarray(y - x))
-    assert err.max() <= float(jnp.max(jnp.abs(x))) / 127.0 * 0.5 + 1e-7
+def test_quantize_dynamic_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 32))
+    xq, s = quant.quantize_dynamic(x)
+    assert xq.dtype == jnp.int8
+    back = xq.astype(jnp.float32) * s
+    # symmetric per-tensor: error bounded by half a quantization step
+    assert float(jnp.max(jnp.abs(back - x))) <= float(s) * 0.5 + 1e-6
+    assert int(jnp.max(jnp.abs(xq))) == 127   # scale saturates the range
 
 
-def test_quantize_sqrt_nonneg_roundtrip():
-    x = jax.random.uniform(jax.random.PRNGKey(1), (5000,)) ** 2
-    y = dequantize_sqrt(quantize_sqrt(x, 512), x.shape)
-    assert float(jnp.min(y)) >= 0.0
-    # relative error in sqrt space ~1/254 of block absmax -> ~1% of max here
-    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-2)
+def test_quantize_weight_per_channel():
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 16, 8))
+    w = w * jnp.arange(1, 9)                   # very different per-Co ranges
+    wq, s = quant.quantize_weight_per_co(w)
+    assert wq.shape == w.shape and s.shape == (8,)
+    back = wq.astype(jnp.float32) * s
+    steps = jnp.max(jnp.abs(back - w), axis=(0, 1, 2)) / s
+    assert float(jnp.max(steps)) <= 0.5 + 1e-5   # per-channel half-step bound
 
 
-def test_zero_roundtrip_exact():
-    x = jnp.zeros((4096,))
-    assert float(jnp.abs(dequantize_blockwise(quantize_blockwise(x), x.shape)).max()) == 0.0
+def test_int8_conv_parity():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(k1, (2, 8, 8, 64), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 64, 32), jnp.float32) * (9 * 64) ** -0.5
+    b = jnp.linspace(-1, 1, 32, dtype=jnp.float32)
+    y8 = int8 = quant.int8_conv3x3(x, w, b)
+    yr = conv3x3_fused_reference(x, w, b)
+    # error budget: two symmetric quantizers, ~5% of the output scale
+    tol = 0.06 * float(jnp.std(yr))
+    assert float(jnp.max(jnp.abs(y8 - yr))) < tol
 
 
-def test_small_leaves_match_fp32_adam_exactly():
-    """Leaves below min_quant_size keep fp32 moments — trajectory must be
-    bit-identical to optax.scale_by_adam."""
-    params = {"w": jnp.ones((16, 8)), "b": jnp.zeros((8,))}
-    g = jax.tree.map(lambda p: jnp.full(p.shape, 0.1), params)
-    t8, t32 = scale_by_adam_8bit(min_quant_size=10**9), optax.scale_by_adam()
-    s8, s32 = t8.init(params), t32.init(params)
-    for _ in range(5):
-        u8, s8 = t8.update(g, s8)
-        u32, s32 = t32.update(g, s32)
-    for a, b in zip(jax.tree.leaves(u8), jax.tree.leaves(u32)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+def test_int8_conv_epilogues():
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(3), 4)
+    x = jax.random.normal(k1, (2, 8, 8, 32), jnp.float32)
+    w = jax.random.normal(k2, (3, 3, 32, 32), jnp.float32) * (9 * 32) ** -0.5
+    b = jnp.zeros((32,))
+    shift = jax.random.normal(k3, (2, 32))
+    res = jax.random.normal(k4, (2, 8, 8, 32))
+    y8 = quant.int8_conv3x3(x, w, b, post_shift=shift, residual=res)
+    yr = conv3x3_fused_reference(x, w, b, post_shift=shift, residual=res)
+    assert float(jnp.max(jnp.abs(y8 - yr))) < 0.08 * float(jnp.std(yr))
 
 
-def test_large_leaves_quantized_and_close_to_fp32():
-    k = jax.random.PRNGKey(2)
-    params = {"w": jax.random.normal(k, (64, 128))}
-    t8 = scale_by_adam_8bit(block_size=256, min_quant_size=1024)
-    t32 = optax.scale_by_adam()
-    s8, s32 = t8.init(params), t32.init(params)
-    assert isinstance(s8.mu["w"], Quantized)
-    for i in range(10):
-        g = {"w": jax.random.normal(jax.random.fold_in(k, i), (64, 128))}
-        u8, s8 = t8.update(g, s8)
-        u32, s32 = t32.update(g, s32)
-    # Adam updates are ~unit scale; int8 moment noise stays small
-    np.testing.assert_allclose(np.asarray(u8["w"]), np.asarray(u32["w"]),
-                               atol=0.08)
+def test_mode_gate_and_table():
+    assert quant.get_mode() is None
+    with quant.quantized("int8"):
+        assert quant.get_mode() == "int8"
+        with quant.quantized(None):
+            assert quant.get_mode() is None
+        assert quant.get_mode() == "int8"
+    assert quant.get_mode() is None
+    with pytest.raises(ValueError):
+        quant.set_mode("int4")
+    # unknown shape: not in table -> False; forced -> True
+    assert not quant.int8_conv_wins((1, 2, 2, 8), 8)
+    os.environ["SVDX_INT8_FORCE"] = "1"
+    try:
+        assert quant.int8_conv_wins((1, 2, 2, 8), 8)
+    finally:
+        del os.environ["SVDX_INT8_FORCE"]
 
 
-def test_adamw_8bit_converges_on_quadratic():
-    """min ||Wx - y||^2: 8-bit AdamW must reach ~the fp32 loss."""
-    k = jax.random.PRNGKey(3)
-    x = jax.random.normal(k, (256, 64))
-    w_true = jax.random.normal(jax.random.fold_in(k, 1), (64, 64))
-    y = x @ w_true
+def test_pipeline_int8_opt_in():
+    """generate(..., unet_quant='int8') with the table forced: runs, stays
+    finite, and stays within quantization distance of the exact output."""
+    from svd_xtend_tpu.core.config import (TINY_CLIP, TINY_UNET, TINY_VAE,
+                                           PipelineConfig)
+    from svd_xtend_tpu.diffusion.pipeline import (SVDModels, generate,
+                                                  init_pipeline_params)
 
-    def loss_fn(w):
-        return jnp.mean((x @ w - y) ** 2)
-
-    def run(opt):
-        w = jnp.zeros((64, 64))
-        s = opt.init(w)
-        step = jax.jit(lambda w, s: _step(w, s))
-        def _step(w, s):
-            l, g = jax.value_and_grad(loss_fn)(w)
-            u, s2 = opt.update(g, s, w)
-            return optax.apply_updates(w, u), s2, l
-        for _ in range(300):
-            w, s, l = jax.jit(_step)(w, s)
-        return float(loss_fn(w))
-
-    l8 = run(adamw_8bit(5e-2, weight_decay=0.0, block_size=256,
-                        min_quant_size=1024))
-    l32 = run(optax.adamw(5e-2, weight_decay=0.0))
-    assert l8 < 0.05 and l8 < max(l32 * 3.0, 0.02)
-
-
-def test_8bit_state_memory_is_int8():
-    params = {"w": jnp.zeros((512, 64))}
-    s = scale_by_adam_8bit(block_size=256, min_quant_size=1024).init(params)
-    n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(s))
-    fp32_bytes = 2 * 512 * 64 * 4
-    assert n_bytes < fp32_bytes / 3  # ~3.6x smaller incl. scales
-
-
-def test_make_optimizer_8bit_via_config():
-    from svd_xtend_tpu.core.config import TrainConfig
-    from svd_xtend_tpu.train.optim import make_optimizer
-    cfg = TrainConfig(use_8bit_adam=True, max_train_steps=10)
-    opt = make_optimizer(cfg)
-    params = {"w": jnp.zeros((128, 64))}
-    s = opt.init(params)
-    u, s = jax.jit(opt.update)({"w": jnp.ones((128, 64))}, s, params)
-    assert u["w"].shape == (128, 64)
-
-
-def test_8bit_handles_none_partitioned_leaves():
-    """The temporal scope trains a partitioned tree with None leaves
-    (train/state.py partition) — the transform must pass them through."""
-    params = {"a": jnp.zeros((128, 64)), "b": None}
-    t = scale_by_adam_8bit(min_quant_size=1024)
-    s = t.init(params)
-    u, s = t.update({"a": jnp.ones((128, 64)), "b": None}, s)
-    assert u["b"] is None and u["a"].shape == (128, 64)
+    models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                       clip_config=TINY_CLIP, dtype=jnp.float32)
+    params = init_pipeline_params(models, jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 2 - 1
+    base_cfg = dict(height=32, width=32, num_frames=2,
+                    num_inference_steps=2, decode_chunk_size=2)
+    exact = generate(models, params, img, jax.random.PRNGKey(2),
+                     PipelineConfig(**base_cfg))
+    os.environ["SVDX_INT8_FORCE"] = "1"
+    try:
+        q = generate(models, params, img, jax.random.PRNGKey(2),
+                     PipelineConfig(**base_cfg, unet_quant="int8"))
+    finally:
+        del os.environ["SVDX_INT8_FORCE"]
+    assert q.shape == exact.shape
+    assert bool(jnp.isfinite(q).all())
+    # 2 sampler steps of quant noise through the UNet; loose sanity bound
+    assert float(jnp.max(jnp.abs(q - exact))) < 0.5
