@@ -101,6 +101,24 @@ def run_bench():
                 cfg.num_frames / dt3, 3)
         except Exception as e:
             detail_extra["cfg_cache_error"] = f"{type(e).__name__}: {e}"[:200]
+        # opt-in W8A8 int8 conv mode (ops/quant.py) reported alongside —
+        # same never-the-headline rule as the CFG cache
+        try:
+            import dataclasses
+            cfg8 = dataclasses.replace(cfg, unet_quant="int8",
+                                       vae_quant="int8")
+            def run8(key):
+                out = generate(models, params, image, key, cfg8)
+                return float(jax.device_get(jnp.sum(out.astype(jnp.float32))))
+            run8(rng)
+            t0 = time.perf_counter()
+            for i in range(n_iters):
+                run8(jax.random.PRNGKey(i))
+            dt8 = (time.perf_counter() - t0) / n_iters
+            detail_extra["frames_per_sec_int8"] = round(
+                cfg.num_frames / dt8, 3)
+        except Exception as e:
+            detail_extra["int8_error"] = f"{type(e).__name__}: {e}"[:200]
 
     return {
         "metric": "img2vid_frames_per_sec_per_chip",

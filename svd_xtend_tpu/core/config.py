@@ -229,11 +229,13 @@ class PipelineConfig(_JsonMixin):
     # the uncond prediction drifts slowly across adjacent sigmas, so k=2/3
     # trades a small guidance lag for ~25/33% less UNet work per video
     uncond_reuse_interval: int = 1
-    # approximate acceleration (OPT-IN; None = exact): "int8" runs the
-    # UNet's spatial convs W8A8 on the int8 MXU path where a measured
-    # per-shape table says it wins (ops/quant.py). Validate quality on real
-    # weights before production use.
+    # approximate acceleration (OPT-IN; None = exact): "int8" runs spatial
+    # convs W8A8 on the int8 MXU path where a measured per-shape table says
+    # it wins (ops/quant.py) — unet_quant scopes the denoising UNet,
+    # vae_quant the temporal decoder. Validate quality on real weights
+    # before production use.
     unet_quant: Optional[str] = None
+    vae_quant: Optional[str] = None
 
 
 # Named operating points (BASELINE.md): A = the README comparison grids

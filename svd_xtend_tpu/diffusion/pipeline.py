@@ -134,7 +134,8 @@ def get_add_time_ids(fps: float, motion_bucket_id: float, noise_aug_strength: Ar
 
 
 def decode_latents_chunked(models: SVDModels, params: dict, latents: Array,
-                           decode_chunk_size: int) -> Array:
+                           decode_chunk_size: int,
+                           quant_mode: Optional[str] = None) -> Array:
     """(B, F, h, w, 4) scaled latents -> (B, F, H, W, 3) pixels in [-1, 1].
 
     Chunked over frames like the reference's decode_chunk_size=8
@@ -157,7 +158,9 @@ def decode_latents_chunked(models: SVDModels, params: dict, latents: Array,
     vae = models.vae()
     decode_one = lambda zc: vae.apply({"params": params["vae"]},
                                       zc.astype(models.dtype), method=vae.decode)
-    frames = jax.lax.map(decode_one, z)                     # (n, B, chunk, H, W, 3)
+    from ..ops import quant as _q
+    with _q.quantized(quant_mode):       # trace-time scope: decoder convs
+        frames = jax.lax.map(decode_one, z)                 # (n, B, chunk, H, W, 3)
     ds = models.vae_config.downsample_factor
     frames = frames.transpose(1, 0, 2, 3, 4, 5).reshape(b, f + pad, ds * h, ds * w, -1)
     return frames[:, :f].astype(jnp.float32)
@@ -174,13 +177,12 @@ def generate(
 ) -> Array:
     """img2vid: returns (B, F, H, W, 3) pixels in [-1, 1].
 
-    config.unet_quant sets the ambient quant mode for the duration of the
-    trace (Conv3x3 dispatch reads it at trace time; config is a static jit
-    arg, so each mode compiles separately and cache hits are mode-correct).
+    config.unet_quant / config.vae_quant select the opt-in W8A8 paths; the
+    quant scopes are set inside _generate around the UNet / decoder apply
+    sites (trace-time reads; config is a static jit arg, so each mode
+    compiles separately and cache hits are mode-correct).
     """
-    from ..ops import quant
-    with quant.quantized(config.unet_quant):
-        return _generate(models, params, image, rng, config, boxes, box_mask)
+    return _generate(models, params, image, rng, config, boxes, box_mask)
 
 
 @functools.partial(jax.jit, static_argnames=("models", "config"))
@@ -238,8 +240,12 @@ def _generate(
         mask2 = jnp.concatenate([jnp.zeros_like(box_mask), box_mask], axis=0)
 
     def unet_out(x_in, t_b, ehs_, add_ids_, boxes_, mask_):
-        return unet.apply({"params": params["unet"]}, x_in.astype(models.dtype),
-                          t_b, ehs_, add_ids_, boxes_, mask_).astype(jnp.float32)
+        from ..ops import quant as _q
+        with _q.quantized(cfg.unet_quant):   # trace-time scope: UNet convs only
+            out = unet.apply({"params": params["unet"]},
+                             x_in.astype(models.dtype),
+                             t_b, ehs_, add_ids_, boxes_, mask_)
+        return out.astype(jnp.float32)
 
     def cfg_pair(latents, sigma):
         """(uncond, cond) UNet outputs as one stacked batch (exact path)."""
@@ -290,7 +296,9 @@ def _generate(
         (latents, _), _ = jax.lax.scan(
             step, init,
             (jnp.arange(steps), sigmas[:-1], sigmas[1:]))
-    video = decode_latents_chunked(models, params, latents, cfg.decode_chunk_size)
+    video = decode_latents_chunked(models, params, latents,
+                                   cfg.decode_chunk_size,
+                                   quant_mode=cfg.vae_quant)
     return jnp.clip(video, -1.0, 1.0)
 
 

@@ -95,7 +95,8 @@ def test_pipeline_int8_opt_in():
     os.environ["SVDX_INT8_FORCE"] = "1"
     try:
         q = generate(models, params, img, jax.random.PRNGKey(2),
-                     PipelineConfig(**base_cfg, unet_quant="int8"))
+                     PipelineConfig(**base_cfg, unet_quant="int8",
+                                    vae_quant="int8"))
     finally:
         del os.environ["SVDX_INT8_FORCE"]
     assert q.shape == exact.shape
