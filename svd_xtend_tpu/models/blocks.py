@@ -39,11 +39,16 @@ class GroupNormSiLU(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, fold_only: bool = False):
+    def __call__(self, x: Array, fold_only: bool = False,
+                 params_only: bool = False):
         from ..ops.pallas.groupnorm import group_norm_fold, group_norm_silu
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        if params_only:
+            # raw affine params, for consumers that fold the normalize
+            # themselves (the fused temporal-resnet op)
+            return scale, bias
         if fold_only:
             # stats-only form: per-(sample, channel) f32 (sc, sh) for a
             # consumer that fuses the normalize (+SiLU) into its input read
@@ -219,13 +224,22 @@ class AlphaBlender(nn.Module):
     merge_factor: float = 0.5
     switch_spatial_to_temporal_mix: bool = False
 
-    @nn.compact
-    def __call__(self, x_spatial: Array, x_temporal: Array,
-                 image_only_indicator: Optional[Array] = None) -> Array:
-        mix = self.param("mix_factor", lambda k: jnp.full((1,), self.merge_factor, jnp.float32))
-        alpha = jax.nn.sigmoid(mix.astype(jnp.float32))[0]
+    def setup(self):
+        self.mix_factor = self.param(
+            "mix_factor", lambda k: jnp.full((1,), self.merge_factor,
+                                             jnp.float32))
+
+    def alpha_scalar(self) -> Array:
+        """The spatial-branch weight as an f32 scalar (indicator-free form,
+        used by the fused temporal-resnet path)."""
+        alpha = jax.nn.sigmoid(self.mix_factor.astype(jnp.float32))[0]
         if self.switch_spatial_to_temporal_mix:
             alpha = 1.0 - alpha
+        return alpha
+
+    def __call__(self, x_spatial: Array, x_temporal: Array,
+                 image_only_indicator: Optional[Array] = None) -> Array:
+        alpha = self.alpha_scalar()
         if image_only_indicator is not None:
             # (B, F) -> broadcastable against x, whether x is (B*F, ...) or (B, F, ...)
             ind = image_only_indicator.astype(bool)
@@ -254,7 +268,7 @@ class TemporalConv(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, params_only: bool = False):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -263,6 +277,9 @@ class TemporalConv(nn.Module):
                           self.param_dtype)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
+        if params_only:
+            # for the fused temporal-resnet kernel: (3, C, Co) taps + bias
+            return kernel[:, 0], bias
         prev = jnp.pad(x[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
         nxt = jnp.pad(x[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
         # output[f] = x[f-1] @ k[0] + x[f] @ k[1] + x[f+1] @ k[2] + b
@@ -345,7 +362,8 @@ class TemporalResnetBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, temb: Optional[Array] = None,
+                 blend_weight: Optional[Array] = None) -> Array:
         b, f, hh, ww, c = x.shape
         xs = x.reshape(b, f, hh * ww, c)
         conv = lambda name: TemporalConv(self.out_channels, dtype=self.dtype,
@@ -353,6 +371,25 @@ class TemporalResnetBlock(nn.Module):
         gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype, name=name)
+        if (blend_weight is not None and c == self.out_channels
+                and temb is not None):
+            # fused whole-block path (ops/pallas/temporal_resnet.py): the
+            # caller has collapsed AlphaBlender into out = x + w·h2 (valid
+            # with identity shortcut and no image_only_indicator); the op
+            # dispatches Pallas on TPU, identical XLA math elsewhere
+            from ..ops.pallas import temporal_resnet as trk
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            s1, bi1 = gns("norm1")(xs, params_only=True)
+            k1, b1 = conv("conv1")(xs, params_only=True)
+            s2, bi2 = gns("norm2")(xs, params_only=True)
+            k2, b2 = conv("conv2")(xs, params_only=True)
+            out = trk.temporal_resnet_block(
+                xs, t, k1, b1, k2, b2, s1, bi1, s2, bi2,
+                jnp.asarray(blend_weight, jnp.float32),
+                groups=self.groups, eps=self.eps)
+            return out.reshape(b, f, hh, ww, self.out_channels)
         h = gns("norm1")(xs)
         h = conv("conv1")(h)
         if temb is not None:
@@ -391,12 +428,18 @@ class SpatioTemporalResBlock(nn.Module):
         b = bf // f
         h_spatial = h.reshape(b, f, hh, ww, c)
         temb_frames = temb.reshape(b, f, -1) if temb is not None else None
-        h_temporal = TemporalResnetBlock(
+        tblock = TemporalResnetBlock(
             self.out_channels, eps=self.temporal_eps or self.eps, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="temporal_res_block",
-        )(h_spatial, temb_frames)
-        out = AlphaBlender(merge_factor=self.merge_factor, name="time_mixer")(
-            h_spatial, h_temporal, image_only_indicator)
+            param_dtype=self.param_dtype, name="temporal_res_block")
+        mixer = AlphaBlender(merge_factor=self.merge_factor, name="time_mixer")
+        if image_only_indicator is None and temb_frames is not None:
+            # indicator-free blend collapses: α·x + (1-α)·(x + h2) =
+            # x + (1-α)·h2 — hand the weight to the (fused) temporal block
+            out = tblock(h_spatial, temb_frames,
+                         blend_weight=1.0 - mixer.alpha_scalar())
+        else:
+            h_temporal = tblock(h_spatial, temb_frames)
+            out = mixer(h_spatial, h_temporal, image_only_indicator)
         return out.reshape(bf, hh, ww, c)
 
 
