@@ -371,16 +371,20 @@ class TemporalResnetBlock(nn.Module):
         gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype, name=name)
-        if (blend_weight is not None and c == self.out_channels
-                and temb is not None):
+        if blend_weight is not None and c == self.out_channels:
             # fused whole-block path (ops/pallas/temporal_resnet.py): the
             # caller has collapsed AlphaBlender into out = x + w·h2 (valid
             # with identity shortcut and no image_only_indicator); the op
             # dispatches Pallas on TPU, identical XLA math elsewhere
             from ..ops.pallas import temporal_resnet as trk
-            t = nn.Dense(self.out_channels, dtype=self.dtype,
-                         param_dtype=self.param_dtype,
-                         name="time_emb_proj")(nn.silu(temb))
+            if temb is not None:
+                t = nn.Dense(self.out_channels, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="time_emb_proj")(nn.silu(temb))
+            else:
+                # temb-free (the VAE temporal decoder): a zero add — tiny
+                # HBM read, avoids a second kernel variant per shape
+                t = jnp.zeros((b, f, self.out_channels), self.dtype)
             s1, bi1 = gns("norm1")(xs, params_only=True)
             k1, b1 = conv("conv1")(xs, params_only=True)
             s2, bi2 = gns("norm2")(xs, params_only=True)
@@ -432,7 +436,7 @@ class SpatioTemporalResBlock(nn.Module):
             self.out_channels, eps=self.temporal_eps or self.eps, dtype=self.dtype,
             param_dtype=self.param_dtype, name="temporal_res_block")
         mixer = AlphaBlender(merge_factor=self.merge_factor, name="time_mixer")
-        if image_only_indicator is None and temb_frames is not None:
+        if image_only_indicator is None:
             # indicator-free blend collapses: α·x + (1-α)·(x + h2) =
             # x + (1-α)·h2 — hand the weight to the (fused) temporal block
             out = tblock(h_spatial, temb_frames,

@@ -102,6 +102,25 @@ def test_module_fused_matches_unfused(force_kernel):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_module_fused_matches_unfused_no_temb(force_kernel):
+    """The VAE temporal decoder drives SpatioTemporalResBlock with temb=None
+    (models/vae.py) — the fused route feeds a zero temb add."""
+    from svd_xtend_tpu.models.blocks import AlphaBlender, TemporalResnetBlock
+    b, f, hh, ww, c = 1, 4, 4, 4, 64
+    x5 = jax.random.normal(jax.random.PRNGKey(0), (b, f, hh, ww, c))
+    tblock = TemporalResnetBlock(c, groups=8, eps=1e-5)
+    params = tblock.init(jax.random.PRNGKey(2), x5, None)
+    mixer = AlphaBlender(merge_factor=0.0)
+    mp = mixer.init(jax.random.PRNGKey(3),
+                    jnp.zeros((1, 1)), jnp.zeros((1, 1)))
+    alpha = mixer.apply(mp, method=AlphaBlender.alpha_scalar)
+    h2 = tblock.apply(params, x5, None)
+    unfused = mixer.apply(mp, x5, h2)
+    fused = tblock.apply(params, x5, None, blend_weight=1.0 - alpha)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_module_param_tree_unchanged(force_kernel):
     """The fused route must create the exact param tree of the unfused one
     (checkpoint compatibility)."""
