@@ -347,6 +347,22 @@ class ResnetBlock2D(nn.Module):
         return skip + h
 
 
+def _tresnet_kernel_dispatch(b: int, f: int, s: int, c: int) -> bool:
+    """Whether the fused temporal-resnet Pallas kernel engages (TPU or
+    forced, enabled, shape supported). When False the module's unfused path
+    runs — Pallas GroupNorm + TemporalConv — with the collapsed blend
+    applied at the end, so disabling the kernel never changes which other
+    kernels run."""
+    import os
+    from ..ops.pallas import temporal_resnet as trk
+    if not trk.enabled():
+        return False
+    if (jax.default_backend() != "tpu"
+            and os.environ.get("SVDX_PALLAS_TRESNET") != "force"):
+        return False
+    return trk.supports(b, f, s, c)
+
+
 class TemporalResnetBlock(nn.Module):
     """ResNet over the frame axis: convs with (3, 1) kernels on (B, F, S, C).
 
@@ -371,11 +387,14 @@ class TemporalResnetBlock(nn.Module):
         gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
                                          dtype=self.dtype,
                                          param_dtype=self.param_dtype, name=name)
-        if blend_weight is not None and c == self.out_channels:
+        if blend_weight is not None and c != self.out_channels:
+            raise ValueError("blend_weight requires an identity shortcut "
+                             "(in_channels == out_channels)")
+        if blend_weight is not None and _tresnet_kernel_dispatch(
+                b, f, hh * ww, c):
             # fused whole-block path (ops/pallas/temporal_resnet.py): the
             # caller has collapsed AlphaBlender into out = x + w·h2 (valid
-            # with identity shortcut and no image_only_indicator); the op
-            # dispatches Pallas on TPU, identical XLA math elsewhere
+            # with identity shortcut and no image_only_indicator)
             from ..ops.pallas import temporal_resnet as trk
             if temb is not None:
                 t = nn.Dense(self.out_channels, dtype=self.dtype,
@@ -406,6 +425,9 @@ class TemporalResnetBlock(nn.Module):
         if c != self.out_channels:
             xs = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                          param_dtype=self.param_dtype, name="conv_shortcut")(xs)
+        if blend_weight is not None:
+            # collapsed AlphaBlender (identity shortcut): x + w·h2
+            h = jnp.asarray(blend_weight, jnp.float32).astype(h.dtype) * h
         return (xs + h).reshape(b, f, hh, ww, self.out_channels)
 
 
