@@ -289,10 +289,14 @@ class TrainConfig(_JsonMixin):
     cond_aug_loc: float = -3.0
     cond_aug_std: float = 0.5
     conditioning_dropout_prob: float = 0.1
-    # trainable scope: 'full' | 'temporal' | 'lora'
+    # trainable scope: 'full' | 'temporal' | 'lora' | 'tracklet'
     train_mode: str = "temporal"
     lora_rank: int = 4
     lora_alpha: int = 4
+    # Tracklet2Video finetuning ('tracklet' mode trains only the box branch:
+    # tokenizer + instance enhancer + zero-gated injections)
+    tracklet_dim: int = 0               # >0 enables the UNet box branch
+    max_boxes: int = 16                 # per-frame box slots (dataset padding)
     # EMA
     use_ema: bool = False
     ema_decay: float = 0.9999

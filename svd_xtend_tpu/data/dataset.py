@@ -34,7 +34,7 @@ except ImportError:  # pragma: no cover
 class FrameFolderDataset:
     def __init__(self, base_folder: str, width: int = 512, height: int = 320,
                  sample_frames: int = 14, num_samples: int = 100_000,
-                 use_native: bool = True):
+                 use_native: bool = True, max_boxes: int = 0):
         self.base_folder = base_folder
         self.width, self.height = width, height
         self.sample_frames = sample_frames
@@ -44,19 +44,30 @@ class FrameFolderDataset:
         # reference's PIL-bicubic resize; set use_native=False for the exact
         # PIL path. Non-JPEG frames fall back to PIL automatically.
         self.use_native = use_native
+        # Tracklet2Video annotations: max_boxes > 0 makes get() return dicts
+        # with per-frame boxes from <video>/boxes.npz — arrays "boxes"
+        # (T, N, 4) normalized xyxy and optional "mask" (T, N). Videos
+        # without the file yield all-null (zero-mask) boxes.
+        self.max_boxes = max_boxes
         self.videos: List[Tuple[str, List[str]]] = []
+        self.box_files: List[Optional[str]] = []
+        img_exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
         for name in sorted(os.listdir(base_folder)):
             folder = os.path.join(base_folder, name)
             if not os.path.isdir(folder):
                 continue
-            frames = sorted(os.listdir(folder))
+            frames = sorted(f for f in os.listdir(folder)
+                            if f.lower().endswith(img_exts))
             if len(frames) < sample_frames:
                 raise ValueError(
                     f"video folder {name!r} has {len(frames)} < "
                     f"{sample_frames} frames")
             self.videos.append((folder, frames))
+            bf = os.path.join(folder, "boxes.npz")
+            self.box_files.append(bf if os.path.exists(bf) else None)
         if not self.videos:
             raise ValueError(f"no video folders under {base_folder!r}")
+        self._box_cache: dict = {}
 
     def __len__(self) -> int:
         return self.num_samples
@@ -88,8 +99,41 @@ class FrameFolderDataset:
                 out[i] = np.asarray(img, np.float32) / 127.5 - 1.0
         return out
 
-    def get(self, seed: int, step: int, position: int) -> np.ndarray:
-        return self.load_window(*self.sample_spec(seed, step, position))
+    def load_boxes_window(self, vid: int, start: int):
+        """((F, max_boxes, 4), (F, max_boxes)) float32 — padded/truncated to
+        max_boxes; all-zero mask when the video has no annotations."""
+        f, n = self.sample_frames, self.max_boxes
+        boxes = np.zeros((f, n, 4), np.float32)
+        mask = np.zeros((f, n), np.float32)
+        path = self.box_files[vid]
+        if path is None:
+            return boxes, mask
+        if vid not in self._box_cache:
+            with np.load(path) as data:
+                self._box_cache[vid] = (
+                    np.asarray(data["boxes"], np.float32),
+                    np.asarray(data["mask"], np.float32)
+                    if "mask" in data else None)
+        all_boxes, all_mask = self._box_cache[vid]
+        win = all_boxes[start:start + f]
+        k = min(n, win.shape[1])
+        boxes[:win.shape[0], :k] = win[:, :k]
+        if all_mask is not None:
+            mask[:win.shape[0], :k] = all_mask[start:start + f, :k]
+        else:
+            # unannotated mask: a box is live when it has positive area
+            area = ((win[:, :k, 2] - win[:, :k, 0])
+                    * (win[:, :k, 3] - win[:, :k, 1]))
+            mask[:win.shape[0], :k] = (area > 0).astype(np.float32)
+        return boxes, mask
+
+    def get(self, seed: int, step: int, position: int):
+        vid, start = self.sample_spec(seed, step, position)
+        pixels = self.load_window(vid, start)
+        if self.max_boxes <= 0:
+            return pixels
+        boxes, mask = self.load_boxes_window(vid, start)
+        return {"pixel_values": pixels, "boxes": boxes, "box_mask": mask}
 
 
 class ShardedLoader:
@@ -116,10 +160,13 @@ class ShardedLoader:
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
-    def _make_batch(self, step: int, pool: cf.ThreadPoolExecutor) -> np.ndarray:
+    def _make_batch(self, step: int, pool: cf.ThreadPoolExecutor):
         futs = [pool.submit(self.ds.get, self.seed, step, self.offset + i)
                 for i in range(self.local_bs)]
-        return np.stack([f.result() for f in futs])
+        samples = [f.result() for f in futs]
+        if isinstance(samples[0], dict):    # Tracklet2Video batches
+            return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        return np.stack(samples)
 
     def _producer(self):
         step = self.step

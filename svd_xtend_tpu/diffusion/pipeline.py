@@ -74,15 +74,18 @@ def init_pipeline_params(models: SVDModels, rng: Array,
     """
     k1, k2, k3 = jax.random.split(rng, 3)
     f = 2
-    unet_vars = models.unet().init(
-        k1,
+    unet_args = [
         jnp.zeros((1, f, height // models.vae_config.downsample_factor,
                    width // models.vae_config.downsample_factor,
                    models.unet_config.in_channels)),
         jnp.zeros(()),
         jnp.zeros((1, 1, models.unet_config.cross_attention_dim)),
         jnp.zeros((1, 3)),
-    )
+    ]
+    if models.unet_config.tracklet_dim > 0:
+        # dummy boxes so the Tracklet2Video branch's params materialize
+        unet_args += [jnp.zeros((1, f, 1, 4)), jnp.zeros((1, f, 1))]
+    unet_vars = models.unet().init(k1, *unet_args)
     vae_vars = models.vae().init(
         k2, jnp.zeros((1, 32, 32, 3)), jax.random.PRNGKey(0))
     c = models.clip_config

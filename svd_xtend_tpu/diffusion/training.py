@@ -105,7 +105,8 @@ def conditioning_dropout(encodings: TrainBatchEncodings, rng: Array,
 
 def edm_denoising_loss(models: SVDModels, unet_params: dict,
                        encodings: TrainBatchEncodings, rng: Array,
-                       cfg: TrainConfig) -> Array:
+                       cfg: TrainConfig, boxes: Array = None,
+                       box_mask: Array = None) -> Array:
     """The differentiable tail: sigma sampling, UNet forward, weighted MSE."""
     latents = encodings.latents
     b, f = latents.shape[:2]
@@ -125,17 +126,27 @@ def edm_denoising_loss(models: SVDModels, unet_params: dict,
     add_ids = get_add_time_ids(7.0, 127.0, encodings.noise_aug, b)
     pred = models.unet(remat=cfg.remat_policy != "none").apply(
         {"params": unet_params}, model_in.astype(models.dtype), timesteps,
-        encodings.image_embeds.astype(models.dtype), add_ids)
+        encodings.image_embeds.astype(models.dtype), add_ids, boxes, box_mask)
 
     denoised = edm.denoise(pred, noisy, sigmas_b)
     return edm.weighted_denoising_loss(denoised, latents, sigmas_b)
 
 
 def training_loss(models: SVDModels, unet_params: dict, frozen_params: dict,
-                  pixel_values: Array, rng: Array, cfg: TrainConfig) -> Array:
-    """Full loss for one micro-batch of (B, F, H, W, 3) pixels in [-1, 1]."""
+                  pixel_values: Array, rng: Array, cfg: TrainConfig,
+                  boxes: Array = None, box_mask: Array = None) -> Array:
+    """Full loss for one micro-batch of (B, F, H, W, 3) pixels in [-1, 1].
+
+    boxes/box_mask ((B, F, N, 4) / (B, F, N)) enable Tracklet2Video training
+    (the capability the reference only teases, README.md:57-70): the gated
+    injection is zero-init, so box-conditioned finetuning starts exactly at
+    the pretrained model. Box conditioning is not subject to the
+    InstructPix2Pix dropout bands — per-sample box DROPOUT is the mask
+    itself (pass zeroed mask rows), which the CFG path mirrors at inference
+    (pipeline.py: uncond half gets fully-masked boxes)."""
     k_enc, k_drop, k_loss = jax.random.split(rng, 3)
     params = {"unet": unet_params, **frozen_params}
     enc = encode_batch(models, params, pixel_values, k_enc, cfg)
     enc = conditioning_dropout(enc, k_drop, cfg.conditioning_dropout_prob)
-    return edm_denoising_loss(models, unet_params, enc, k_loss, cfg)
+    return edm_denoising_loss(models, unet_params, enc, k_loss, cfg,
+                              boxes, box_mask)

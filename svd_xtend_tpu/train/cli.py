@@ -49,9 +49,17 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--num_frames", type=int, default=14)
     p.add_argument("--num_workers", type=int, default=8)
     # scope
-    p.add_argument("--train_mode", choices=["full", "temporal", "lora"],
+    p.add_argument("--train_mode",
+                   choices=["full", "temporal", "lora", "tracklet"],
                    default="temporal")
     p.add_argument("--rank", type=int, default=4, help="LoRA rank (=alpha)")
+    # Tracklet2Video (README.md:57-70 — the reference never shipped this):
+    # 'tracklet' mode trains only the box-conditioning branch on videos with
+    # <video>/boxes.npz annotations (boxes (T,N,4) normalized xyxy [+ mask])
+    p.add_argument("--tracklet_dim", type=int, default=1024,
+                   help="box-token width (used when --train_mode tracklet)")
+    p.add_argument("--max_boxes", type=int, default=16,
+                   help="per-frame box slots (padding/truncation)")
     # optimization
     p.add_argument("--per_device_batch_size", type=int, default=1)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
@@ -117,6 +125,8 @@ def build_train_config(args) -> TrainConfig:
         max_grad_norm=args.max_grad_norm, use_8bit_adam=args.use_8bit_adam,
         conditioning_dropout_prob=args.conditioning_dropout_prob,
         train_mode=args.train_mode, lora_rank=args.rank, lora_alpha=args.rank,
+        tracklet_dim=args.tracklet_dim if args.train_mode == "tracklet" else 0,
+        max_boxes=args.max_boxes,
         use_ema=args.use_ema, mixed_precision=args.mixed_precision,
         output_dir=args.output_dir, checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
@@ -209,6 +219,10 @@ def main(argv=None):
                            attn_impl=args.attn_impl)
     else:
         models = SVDModels(dtype=dtype, attn_impl=args.attn_impl)
+    if cfg.tracklet_dim > 0:
+        import dataclasses as _dc
+        models = _dc.replace(models, unet_config=_dc.replace(
+            models.unet_config, tracklet_dim=cfg.tracklet_dim))
 
     rng = jax.random.PRNGKey(cfg.seed)
     params = load_or_init_params(models, args, rng)
@@ -221,7 +235,8 @@ def main(argv=None):
                                lora_rng=jax.random.fold_in(rng, 1))
 
     # param audit (reference params_freeze.txt/params_train.txt)
-    if jax.process_index() == 0 and cfg.train_mode in ("full", "temporal"):
+    if jax.process_index() == 0 and cfg.train_mode in ("full", "temporal",
+                                                       "tracklet"):
         mask = trainable_mask(params["unet"], cfg.train_mode)
         frozen_names, train_names = param_audit(params["unet"], mask)
         os.makedirs(cfg.output_dir, exist_ok=True)
@@ -242,8 +257,9 @@ def main(argv=None):
     step_fn, place_state, place_batch = make_sharded_train_step(
         models, cfg, optimizer, frozen, mesh)
 
-    dataset = FrameFolderDataset(cfg.base_folder, cfg.width, cfg.height,
-                                 cfg.num_frames)
+    dataset = FrameFolderDataset(
+        cfg.base_folder, cfg.width, cfg.height, cfg.num_frames,
+        max_boxes=cfg.max_boxes if cfg.tracklet_dim > 0 else 0)
     accum = cfg.gradient_accumulation_steps
     local_bs = cfg.per_device_batch_size * max(
         1, mesh.shape["data"] // jax.process_count()) * accum
@@ -266,8 +282,9 @@ def main(argv=None):
                 break
             batch = next(loader)
             if accum > 1:
-                batch = batch.reshape(accum, local_bs // accum,
-                                      *batch.shape[1:])
+                batch = jax.tree.map(
+                    lambda x: x.reshape(accum, local_bs // accum,
+                                        *x.shape[1:]), batch)
             state, metrics = step_fn(state, place_batch(batch), rng)
 
             if (step + 1) % 10 == 0 or step == start:

@@ -45,12 +45,20 @@ def _path_str(path) -> str:
 
 
 def trainable_mask(params: Any, mode: str) -> Any:
-    """Bool pytree marking trainable leaves ('full' or 'temporal' scope)."""
+    """Bool pytree marking trainable leaves ('full', 'temporal', or
+    'tracklet' scope)."""
     if mode == "full":
         return jax.tree.map(lambda _: True, params)
     if mode == "temporal":
         return jax.tree_util.tree_map_with_path(
             lambda p, _: "temporal_transformer_block" in _path_str(p), params)
+    if mode == "tracklet":
+        # Boximator-style: train ONLY the inserted conditioning branch (box
+        # tokenizer + instance enhancer + zero-gated injections), freezing
+        # the pretrained UNet (models/tracklet.py)
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: ("tracklet_conditioner" in _path_str(p)
+                          or "gated_attentions" in _path_str(p)), params)
     raise ValueError(f"trainable_mask undefined for mode {mode!r}")
 
 
@@ -123,8 +131,9 @@ def create_train_state(cfg: TrainConfig, unet_params: Any,
         return TrainState(step=jnp.zeros((), jnp.int32), params=lora_params,
                           opt_state=optimizer.init(lora_params),
                           base_unet=unet_params)
-    if cfg.train_mode == "temporal":
-        train, frozen = partition(unet_params, trainable_mask(unet_params, "temporal"))
+    if cfg.train_mode in ("temporal", "tracklet"):
+        train, frozen = partition(
+            unet_params, trainable_mask(unet_params, cfg.train_mode))
         return TrainState(step=jnp.zeros((), jnp.int32), params=train,
                           opt_state=optimizer.init(train), frozen_unet=frozen)
     if cfg.train_mode == "full":
@@ -151,13 +160,20 @@ def make_train_step(models: SVDModels, cfg: TrainConfig,
         if cfg.train_mode == "lora":
             return lora_lib.merge(state.base_unet, trainable,
                                   rank=cfg.lora_rank, alpha=cfg.lora_alpha)
-        if cfg.train_mode == "temporal":
+        if cfg.train_mode in ("temporal", "tracklet"):
             return combine(trainable, state.frozen_unet)
         return trainable
 
-    def micro_loss(trainable, state, pixels, rng):
+    def micro_loss(trainable, state, micro_batch, rng):
         unet_p = unet_tree(trainable, state)
-        return training_loss(models, unet_p, frozen_params, pixels, rng, cfg)
+        if isinstance(micro_batch, dict):
+            # Tracklet2Video batches: {"pixel_values", "boxes", "box_mask"}
+            return training_loss(models, unet_p, frozen_params,
+                                 micro_batch["pixel_values"], rng, cfg,
+                                 boxes=micro_batch.get("boxes"),
+                                 box_mask=micro_batch.get("box_mask"))
+        return training_loss(models, unet_p, frozen_params, micro_batch,
+                             rng, cfg)
 
     grad_fn = jax.value_and_grad(micro_loss)
 

@@ -146,3 +146,38 @@ def test_cli_full_8bit_adam_checkpoint_resume(frame_folder, tmp_path):
     cli.main(common + ["--max_train_steps", "4",
                        "--resume_from_checkpoint", "latest"])
     assert os.path.isdir(os.path.join(out, "checkpoint-4"))
+
+
+def test_cli_tracklet_train(frame_folder, tmp_path):
+    """Tracklet2Video finetune through the real CLI: boxes.npz annotations,
+    'tracklet' scope, dict batches end-to-end."""
+    import os
+
+    from svd_xtend_tpu.train import cli
+
+    # annotate one of the synthetic videos
+    vid_dir = os.path.join(frame_folder, "video0")
+    t, n = 6, 2
+    boxes = np.zeros((t, n, 4), np.float32)
+    boxes[:, 0] = [0.1, 0.1, 0.6, 0.6]
+    np.savez(os.path.join(vid_dir, "boxes.npz"), boxes=boxes)
+    try:
+        out = str(tmp_path / "run_tracklet")
+        cli.main([
+            "--base_folder", frame_folder, "--tiny_model",
+            "--width", "32", "--height", "32", "--num_frames", "2",
+            "--train_mode", "tracklet", "--tracklet_dim", "32",
+            "--max_boxes", "3", "--learning_rate", "1e-3",
+            "--lr_scheduler", "constant", "--lr_warmup_steps", "0",
+            "--output_dir", out, "--checkpointing_steps", "100",
+            "--validation_steps", "100", "--mixed_precision", "no",
+            "--remat", "none", "--num_workers", "2", "--seed", "7",
+            "--max_train_steps", "2",
+        ])
+        train_names = open(os.path.join(out, "params_train.txt")).read()
+        assert "tracklet_conditioner" in train_names
+        assert "gated_attentions" in train_names
+        frozen_names = open(os.path.join(out, "params_freeze.txt")).read()
+        assert "temporal_transformer_block" in frozen_names
+    finally:
+        os.remove(os.path.join(vid_dir, "boxes.npz"))
