@@ -129,9 +129,14 @@ def _kernel_from_torch(path: str, arr: np.ndarray, temporal: bool) -> np.ndarray
 
 
 def flax_to_diffusers(params: Tree, prefix: str = "") -> Dict[str, np.ndarray]:
-    """Our UNet/VAE param tree -> diffusers-style torch state dict (numpy)."""
+    """Our UNet/VAE param tree -> diffusers-style torch state dict (numpy).
+
+    Extension subtrees (the Tracklet2Video branch) are EXCLUDED — they have
+    no diffusers counterpart; export them with tracklet_branch_to_flat()."""
     out: Dict[str, np.ndarray] = {}
     for path, arr in flatten(params).items():
+        if _is_extension_path(path):
+            continue
         base, leaf = path.rsplit("/", 1) if "/" in path else ("", path)
         key = _flax_path_to_torch(base) if base else ""
         if leaf == "kernel":
@@ -147,17 +152,34 @@ def flax_to_diffusers(params: Tree, prefix: str = "") -> Dict[str, np.ndarray]:
     return out
 
 
+# Param subtrees that are THIS framework's extensions (no diffusers
+# counterpart): kept at their template (init) values when importing a
+# pretrained checkpoint — the Tracklet2Video branch is zero-gated, so a
+# stock SVD checkpoint + fresh branch is exactly the pretrained model.
+_EXTENSION_PREFIXES = ("tracklet_conditioner",)
+_EXTENSION_SEGMENTS = ("gated_attentions_",)
+
+
+def _is_extension_path(path: str) -> bool:
+    return (path.startswith(_EXTENSION_PREFIXES)
+            or any(seg in path for seg in _EXTENSION_SEGMENTS))
+
+
 def diffusers_to_flax(state_dict: Dict[str, np.ndarray], template: Tree,
                       strict: bool = True) -> Tree:
     """diffusers state dict -> our tree, guided by a (shape-bearing) template.
 
     We invert by mapping every template path to its torch key and pulling the
     tensor from the state dict — this avoids guessing flax structure from
-    torch names."""
+    torch names. Extension subtrees (_EXTENSION_PREFIXES/_SEGMENTS) keep
+    their template init values."""
     flat_out: Dict[str, np.ndarray] = {}
     t_flat = flatten(template)
     missing = []
     for path, tarr in t_flat.items():
+        if _is_extension_path(path):
+            flat_out[path] = np.asarray(tarr)
+            continue
         base, leaf = path.rsplit("/", 1) if "/" in path else ("", path)
         key = _flax_path_to_torch(base) if base else ""
         if leaf == "kernel":
@@ -182,10 +204,39 @@ def diffusers_to_flax(state_dict: Dict[str, np.ndarray], template: Tree,
     if strict and missing:
         raise ValueError(f"{len(missing)} keys missing from state dict, "
                          f"e.g. {missing[:5]}")
-    if strict and len(flat_out) < len(state_dict):
+    n_mapped = sum(1 for p in flat_out if not _is_extension_path(p))
+    if strict and n_mapped < len(state_dict):
         raise ValueError(
-            f"{len(state_dict) - len(flat_out)} state-dict keys unused")
+            f"{len(state_dict) - n_mapped} state-dict keys unused")
     return fill_template(template, flat_out, strict=strict)
+
+
+# -------------------------------------------- Tracklet2Video branch I/O ----
+
+def tracklet_branch_to_flat(unet_params: Tree) -> Dict[str, np.ndarray]:
+    """The trained Tracklet2Video branch as a flat {path: array} dict — the
+    LoRA-like exchange artifact for box-conditioned finetunes (the base UNet
+    stays a stock diffusers checkpoint)."""
+    return {p: np.asarray(a) for p, a in flatten(unet_params).items()
+            if _is_extension_path(p) and a is not None}
+
+
+def tracklet_branch_into_tree(flat: Dict[str, np.ndarray],
+                              unet_params: Tree) -> Tree:
+    """Merge a tracklet_branch_to_flat() dict into a (tracklet-enabled) UNet
+    tree; validates every saved path exists in the template."""
+    t_flat = flatten(unet_params)
+    unknown = sorted(set(flat) - set(t_flat))
+    if unknown:
+        raise ValueError(f"unknown tracklet params: {unknown[:5]}... "
+                         f"({len(unknown)})")
+    merged = dict(t_flat)
+    for p, a in flat.items():
+        if np.asarray(a).shape != np.asarray(merged[p]).shape:
+            raise ValueError(f"{p}: shape {np.asarray(a).shape} != "
+                             f"{np.asarray(merged[p]).shape}")
+        merged[p] = np.asarray(a).astype(np.asarray(merged[p]).dtype)
+    return unflatten(merged)
 
 
 # ------------------------------------------------------------------- CLIP --

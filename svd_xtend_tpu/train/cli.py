@@ -321,6 +321,14 @@ def main(argv=None):
         if cfg.train_mode == "lora":
             ckpt_lib.export_lora_diffusers(jax.device_get(state.params),
                                            cfg.output_dir)
+        if cfg.train_mode == "tracklet":
+            # LoRA-like exchange artifact: just the trained box branch (the
+            # diffusers export above excludes it — no torch counterpart)
+            from ..io import convert
+            convert.save_safetensors(
+                os.path.join(cfg.output_dir, "tracklet_weights.safetensors"),
+                convert.tracklet_branch_to_flat(
+                    jax.device_get(final_unet)))
         logger.info("final model exported to %s", cfg.output_dir)
         if args.push_to_hub:
             # reference uploads via huggingface_hub (train_svd.py:1182-1188)

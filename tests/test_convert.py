@@ -114,3 +114,48 @@ def test_clip_parity_with_transformers():
             x.transpose(0, 3, 1, 2))).image_embeds.numpy()
     got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+def test_tracklet_extension_import_export(tmp_path):
+    """A stock (non-tracklet) diffusers checkpoint loads into a
+    tracklet-enabled UNet (branch keeps its zero-gated init, excluded from
+    export); the trained branch round-trips via its own artifact."""
+    import dataclasses
+
+    import jax
+
+    from svd_xtend_tpu.models.unet import UNetSpatioTemporalConditionModel
+
+    cfg = dataclasses.replace(TINY_UNET, tracklet_dim=32, tracklet_heads=2)
+    model = UNetSpatioTemporalConditionModel(cfg, dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(3),
+                   jnp.zeros((1, 2, 8, 8, cfg.in_channels)), jnp.zeros(()),
+                   jnp.zeros((1, 1, cfg.cross_attention_dim)),
+                   jnp.zeros((1, 3)),
+                   jnp.zeros((1, 2, 1, 4)), jnp.zeros((1, 2, 1)))
+    params = v["params"]
+    assert "tracklet_conditioner" in params
+
+    # export excludes the branch; a stock checkpoint imports cleanly
+    sd = convert.flax_to_diffusers(params)
+    assert not any("tracklet" in k or "gated_attentions" in k for k in sd)
+    back = convert.diffusers_to_flax(sd, params)      # strict=True must pass
+    probe = "tracklet_conditioner/enhancer/norm1/scale"
+    np.testing.assert_array_equal(convert.flatten(back)[probe],
+                                  convert.flatten(params)[probe])
+
+    # branch artifact round-trip (cli --train_mode tracklet final export)
+    flat = convert.tracklet_branch_to_flat(params)
+    assert flat and all("tracklet_conditioner" in p or "gated_attentions" in p
+                        for p in flat)
+    path = str(tmp_path / "tracklet_weights.safetensors")
+    convert.save_safetensors(path, flat)
+    loaded = convert.load_safetensors(path)
+    zeroed = jax.tree.map(jnp.zeros_like, params)
+    merged = convert.tracklet_branch_into_tree(loaded, zeroed)
+    mf = convert.flatten(merged)
+    pf = convert.flatten(params)
+    for p in flat:
+        np.testing.assert_array_equal(mf[p], pf[p])
+    # non-branch params untouched (still zero)
+    assert float(np.abs(mf["conv_in/kernel"]).max()) == 0.0
