@@ -38,6 +38,11 @@ def main():
     p.add_argument("--seed", type=int, default=111)
     p.add_argument("--out", default="generated.mp4")
     p.add_argument("--boxes", default="", help="JSON [[x1,y1,x2,y2],...] in [0,1]")
+    p.add_argument("--tracklet_path", default="",
+                   help="dir with tracklet_weights.safetensors "
+                        "(cli --train_mode tracklet output)")
+    p.add_argument("--tracklet_dim", type=int, default=1024,
+                   help="box-token width the branch was trained with")
     args = p.parse_args()
 
     import jax
@@ -51,6 +56,10 @@ def main():
     from svd_xtend_tpu.io.media import export_to_gif, export_to_video
 
     models = SVDModels()
+    if args.tracklet_path or args.boxes:
+        import dataclasses
+        models = dataclasses.replace(models, unet_config=dataclasses.replace(
+            models.unet_config, tracklet_dim=args.tracklet_dim))
     params = init_pipeline_params(models, jax.random.PRNGKey(0))
     if args.model_path:
         root = args.model_path
@@ -67,6 +76,11 @@ def main():
     if args.unet_path:
         params["unet"] = convert.diffusers_to_flax(convert.load_safetensors(
             os.path.join(args.unet_path, "diffusion_pytorch_model.safetensors")),
+            params["unet"])
+    if args.tracklet_path:
+        params["unet"] = convert.tracklet_branch_into_tree(
+            convert.load_safetensors(os.path.join(
+                args.tracklet_path, "tracklet_weights.safetensors")),
             params["unet"])
     if args.lora_path:
         from svd_xtend_tpu.models import lora as lora_lib
