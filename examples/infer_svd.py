@@ -57,9 +57,7 @@ def main():
 
     models = SVDModels()
     if args.tracklet_path or args.boxes:
-        import dataclasses
-        models = dataclasses.replace(models, unet_config=dataclasses.replace(
-            models.unet_config, tracklet_dim=args.tracklet_dim))
+        models = models.with_tracklet(args.tracklet_dim)
     params = init_pipeline_params(models, jax.random.PRNGKey(0))
     if args.model_path:
         root = args.model_path

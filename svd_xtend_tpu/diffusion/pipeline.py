@@ -62,6 +62,17 @@ class SVDModels:
     def scheduler(self) -> EulerDiscreteScheduler:
         return EulerDiscreteScheduler(self.scheduler_config)
 
+    def with_tracklet(self, dim: int, heads: int = None) -> "SVDModels":
+        """This bundle with the Tracklet2Video UNet branch enabled — the one
+        spelling every entry point (train CLI, examples, benches) uses, so
+        train and inference configs can't diverge."""
+        import dataclasses
+        kw = {"tracklet_dim": dim}
+        if heads is not None:
+            kw["tracklet_heads"] = heads
+        return dataclasses.replace(
+            self, unet_config=dataclasses.replace(self.unet_config, **kw))
+
 
 @functools.partial(jax.jit, static_argnames=("models", "height", "width"))
 def init_pipeline_params(models: SVDModels, rng: Array,

@@ -140,13 +140,20 @@ def training_loss(models: SVDModels, unet_params: dict, frozen_params: dict,
     boxes/box_mask ((B, F, N, 4) / (B, F, N)) enable Tracklet2Video training
     (the capability the reference only teases, README.md:57-70): the gated
     injection is zero-init, so box-conditioned finetuning starts exactly at
-    the pretrained model. Box conditioning is not subject to the
-    InstructPix2Pix dropout bands — per-sample box DROPOUT is the mask
-    itself (pass zeroed mask rows), which the CFG path mirrors at inference
-    (pipeline.py: uncond half gets fully-masked boxes)."""
-    k_enc, k_drop, k_loss = jax.random.split(rng, 3)
+    the pretrained model. Box conditioning gets its own per-sample dropout
+    (whole mask zeroed with conditioning_dropout_prob, independent of the
+    InstructPix2Pix bands) so the model trains on the all-null-token input
+    the CFG unconditional half feeds it at inference (pipeline.py:
+    uncond half gets fully-masked boxes)."""
+    k_enc, k_drop, k_box, k_loss = jax.random.split(rng, 4)
     params = {"unet": unet_params, **frozen_params}
     enc = encode_batch(models, params, pixel_values, k_enc, cfg)
     enc = conditioning_dropout(enc, k_drop, cfg.conditioning_dropout_prob)
+    if boxes is not None and cfg.conditioning_dropout_prob > 0:
+        if box_mask is None:
+            box_mask = jnp.ones(boxes.shape[:3], jnp.float32)
+        keep = (jax.random.uniform(k_box, (boxes.shape[0],))
+                >= cfg.conditioning_dropout_prob)
+        box_mask = box_mask * keep[:, None, None].astype(box_mask.dtype)
     return edm_denoising_loss(models, unet_params, enc, k_loss, cfg,
                               boxes, box_mask)

@@ -348,19 +348,13 @@ class ResnetBlock2D(nn.Module):
 
 
 def _tresnet_kernel_dispatch(b: int, f: int, s: int, c: int) -> bool:
-    """Whether the fused temporal-resnet Pallas kernel engages (TPU or
-    forced, enabled, shape supported). When False the module's unfused path
-    runs — Pallas GroupNorm + TemporalConv — with the collapsed blend
-    applied at the end, so disabling the kernel never changes which other
-    kernels run."""
-    import os
+    """Whether the fused temporal-resnet Pallas kernel engages
+    (temporal_resnet.dispatchable — the single shared predicate). When
+    False the module's unfused path runs — Pallas GroupNorm + TemporalConv
+    — with the collapsed blend applied at the end, so disabling the kernel
+    never changes which other kernels run."""
     from ..ops.pallas import temporal_resnet as trk
-    if not trk.enabled():
-        return False
-    if (jax.default_backend() != "tpu"
-            and os.environ.get("SVDX_PALLAS_TRESNET") != "force"):
-        return False
-    return trk.supports(b, f, s, c)
+    return trk.dispatchable(b, f, s, c)
 
 
 class TemporalResnetBlock(nn.Module):

@@ -217,7 +217,12 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         x = sample.astype(self.dtype).reshape(b * f, h, w, sample.shape[-1])
         emb_f = jnp.repeat(emb, f, axis=0)
         ehs_f = jnp.repeat(encoder_hidden_states.astype(self.dtype), f, axis=0)
-        indicator = jnp.zeros((b, f), jnp.float32)
+        # The reference builds a zeros image_only_indicator
+        # (src/unet_spatio_temporal_condition.py:430), which selects the
+        # plain alpha-blend everywhere. None is the same semantics here and
+        # keeps the fused temporal-resnet collapse eligible
+        # (models/blocks.py: SpatioTemporalResBlock).
+        indicator = None
 
         # optional Tracklet2Video conditioning tokens (models/tracklet.py)
         tracklet_tokens = None

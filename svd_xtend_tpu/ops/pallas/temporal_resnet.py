@@ -308,19 +308,26 @@ def _tresnet_bwd(groups, eps, res, g):
 _tresnet.defvjp(_tresnet_fwd, _tresnet_bwd)
 
 
+def dispatchable(b: int, f: int, s: int, c: int) -> bool:
+    """THE dispatch predicate — shared by the module-level route choice
+    (models/blocks.py) and temporal_resnet_block's internal guard, so the
+    two can never desynchronize."""
+    return (enabled() and supports(b, f, s, c)
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("SVDX_PALLAS_TRESNET") == "force"))
+
+
 def temporal_resnet_block(x: Array, t: Array, k1: Array, b1: Array,
                           k2: Array, b2: Array, scale1: Array, bias1: Array,
                           scale2: Array, bias2: Array, w: Array, *,
                           groups: int = 32, eps: float = 1e-5) -> Array:
     """Fused temporal resnet + blend: x + w·conv2(gn2silu(conv1(gn1silu(x))
-    + b1 + t)) on (B, F, S, C). Dispatches to the Pallas pair on TPU at
-    supported shapes, to `temporal_resnet_reference` otherwise (same math,
+    + b1 + t)) on (B, F, S, C). Dispatches to the Pallas pair when
+    `dispatchable`, to `temporal_resnet_reference` otherwise (same math,
     so CPU tests and odd shapes share one semantics). Numerics contract:
     `temporal_resnet_reference`; backward always routes through it."""
     bsz, f, s, c = x.shape
-    if (enabled() and supports(bsz, f, s, c)
-            and (jax.default_backend() == "tpu"
-                 or os.environ.get("SVDX_PALLAS_TRESNET") == "force")):
+    if dispatchable(bsz, f, s, c):
         return _tresnet(x, t, k1, b1, k2, b2, scale1, bias1, scale2, bias2,
                         w, groups, eps)
     return temporal_resnet_reference(x, t, k1, b1, k2, b2, scale1, bias1,

@@ -220,9 +220,7 @@ def main(argv=None):
     else:
         models = SVDModels(dtype=dtype, attn_impl=args.attn_impl)
     if cfg.tracklet_dim > 0:
-        import dataclasses as _dc
-        models = _dc.replace(models, unet_config=_dc.replace(
-            models.unet_config, tracklet_dim=cfg.tracklet_dim))
+        models = models.with_tracklet(cfg.tracklet_dim)
 
     rng = jax.random.PRNGKey(cfg.seed)
     params = load_or_init_params(models, args, rng)

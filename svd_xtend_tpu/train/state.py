@@ -115,7 +115,7 @@ def unet_params_of(state: TrainState, cfg: TrainConfig) -> Any:
     if cfg.train_mode == "lora":
         return lora_lib.merge(state.base_unet, state.params,
                               rank=cfg.lora_rank, alpha=cfg.lora_alpha)
-    if cfg.train_mode == "temporal":
+    if cfg.train_mode in ("temporal", "tracklet"):
         return combine(state.params, state.frozen_unet)
     return state.params
 

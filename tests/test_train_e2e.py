@@ -163,6 +163,7 @@ def test_cli_tracklet_train(frame_folder, tmp_path):
     np.savez(os.path.join(vid_dir, "boxes.npz"), boxes=boxes)
     try:
         out = str(tmp_path / "run_tracklet")
+        val_img = os.path.join(frame_folder, "video0", "0000.jpg")
         cli.main([
             "--base_folder", frame_folder, "--tiny_model",
             "--width", "32", "--height", "32", "--num_frames", "2",
@@ -170,7 +171,8 @@ def test_cli_tracklet_train(frame_folder, tmp_path):
             "--max_boxes", "3", "--learning_rate", "1e-3",
             "--lr_scheduler", "constant", "--lr_warmup_steps", "0",
             "--output_dir", out, "--checkpointing_steps", "100",
-            "--validation_steps", "100", "--mixed_precision", "no",
+            "--validation_steps", "100", "--validation_image", val_img,
+            "--num_inference_steps", "2", "--mixed_precision", "no",
             "--remat", "none", "--num_workers", "2", "--seed", "7",
             "--max_train_steps", "2",
         ])
@@ -179,5 +181,16 @@ def test_cli_tracklet_train(frame_folder, tmp_path):
         assert "gated_attentions" in train_names
         frozen_names = open(os.path.join(out, "params_freeze.txt")).read()
         assert "temporal_transformer_block" in frozen_names
+        # final exports: the full UNet must NOT be empty (unet_params_of
+        # must recombine frozen+trainable for this mode) and the branch
+        # artifact must round-trip
+        from svd_xtend_tpu.io import convert
+        sd = convert.load_safetensors(os.path.join(
+            out, "unet", "diffusion_pytorch_model.safetensors"))
+        assert len(sd) > 50 and any("conv_in" in k for k in sd)
+        tw = convert.load_safetensors(os.path.join(
+            out, "tracklet_weights.safetensors"))
+        assert tw and all("tracklet_conditioner" in k
+                          or "gated_attentions" in k for k in tw)
     finally:
         os.remove(os.path.join(vid_dir, "boxes.npz"))
