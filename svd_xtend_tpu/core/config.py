@@ -283,6 +283,7 @@ class TrainConfig(_JsonMixin):
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     use_8bit_adam: bool = False         # blockwise-int8 Adam moments (train/quant.py)
+    zero1: bool = False                 # ZeRO-1: shard Adam moments + EMA over 'data'
     # EDM
     p_mean: float = 0.7
     p_std: float = 1.6

@@ -33,22 +33,44 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
 
 
-def state_shardings(state: Any, mesh: Mesh) -> Any:
+def state_shardings(state: Any, mesh: Mesh, zero1: bool = False) -> Any:
     """NamedSharding tree for a TrainState (or any pytree whose leaf paths end
     in parameter names — optimizer moments and EMA mirror the param tree, so
-    the same name-based rules apply to them)."""
+    the same name-based rules apply to them).
+
+    zero1: additionally shard optimizer moments (and EMA) over the 'data'
+    axis — ZeRO stage 1 (SURVEY.md §2.5 FSDP row). Params/grads stay
+    replicated across dp; the Adam update runs on each rank's moment shard
+    and GSPMD all-gathers the updated params — for full-UNet AdamW this cuts
+    the fp32 mu/nu (2x params) to 2x/N per chip. Exact: the update is
+    elementwise, so sharding changes layout only (tests/test_sharding.py)."""
     tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    dp = mesh.shape.get(DATA_AXIS, 1)
 
     def rule(path, leaf):
         if leaf is None:
             return None
-        return NamedSharding(mesh, param_pspec(_path_str(path), leaf, tp=tp))
+        pstr = _path_str(path)
+        spec = param_pspec(pstr, leaf, tp=tp)
+        if (zero1 and dp > 1 and getattr(leaf, "ndim", 0) >= 1
+                and ("opt_state" in pstr or "ema_params" in pstr)):
+            parts = list(spec) + [None] * (leaf.ndim - len(spec))
+            # largest still-unsharded dim divisible by dp
+            cands = [d for d in range(leaf.ndim)
+                     if parts[d] is None and leaf.shape[d] % dp == 0
+                     and leaf.shape[d] > 0]
+            if cands:
+                d = max(cands, key=lambda i: leaf.shape[i])
+                parts[d] = DATA_AXIS
+                spec = P(*parts)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(rule, state)
 
 
-def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
-    shardings = state_shardings(state, mesh)
+def shard_train_state(state: TrainState, mesh: Mesh,
+                      zero1: bool = False) -> TrainState:
+    shardings = state_shardings(state, mesh, zero1=zero1)
     return jax.tree.map(lambda x, s: jax.device_put(x, s), state, shardings)
 
 
@@ -88,10 +110,22 @@ def make_sharded_train_step(
     # scan axis and axis 1 is the device batch
     batch_axis = 1 if cfg.gradient_accumulation_steps > 1 else 0
 
-    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    zero1 = getattr(cfg, "zero1", False)
+    _jit_cache: dict = {}
+
+    def jitted(state, batch, rng):
+        # pin the output state to the input shardings (donation reuses the
+        # buffers; under ZeRO-1 this keeps moments dp-sharded across steps
+        # instead of letting GSPMD re-replicate them); built once — the
+        # sharding tree needs a concrete state structure
+        if "fn" not in _jit_cache:
+            out_sh = (state_shardings(state, mesh, zero1=zero1), None)
+            _jit_cache["fn"] = jax.jit(step_fn, donate_argnums=(0,),
+                                       out_shardings=out_sh)
+        return _jit_cache["fn"](state, batch, rng)
 
     def place_state(state: TrainState) -> TrainState:
-        return shard_train_state(state, mesh)
+        return shard_train_state(state, mesh, zero1=zero1)
 
     def place_batch(batch):
         return shard_batch(batch, mesh, batch_axis=batch_axis)

@@ -76,6 +76,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="blockwise-int8 Adam moments (reference bitsandbytes "
                         "AdamW8bit, train_svd.py:746-756)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard optimizer moments (and EMA) over the "
+                        "data axis — full-UNet AdamW states drop to 1/N per "
+                        "chip; numerically exact")
     p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--mixed_precision", choices=["no", "bf16"], default="bf16")
@@ -123,6 +127,7 @@ def build_train_config(args) -> TrainConfig:
         adam_beta1=args.adam_beta1, adam_beta2=args.adam_beta2,
         adam_weight_decay=args.adam_weight_decay, adam_epsilon=args.adam_epsilon,
         max_grad_norm=args.max_grad_norm, use_8bit_adam=args.use_8bit_adam,
+        zero1=args.zero1,
         conditioning_dropout_prob=args.conditioning_dropout_prob,
         train_mode=args.train_mode, lora_rank=args.rank, lora_alpha=args.rank,
         tracklet_dim=args.tracklet_dim if args.train_mode == "tracklet" else 0,

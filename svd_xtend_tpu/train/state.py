@@ -137,7 +137,10 @@ def create_train_state(cfg: TrainConfig, unet_params: Any,
         return TrainState(step=jnp.zeros((), jnp.int32), params=train,
                           opt_state=optimizer.init(train), frozen_unet=frozen)
     if cfg.train_mode == "full":
-        ema = jax.tree.map(lambda x: x, unet_params) if cfg.use_ema else None
+        # real copies: aliasing the param buffers makes the donated sharded
+        # step fail with "donate the same buffer twice"
+        ema = (jax.tree.map(lambda x: x.copy(), unet_params)
+               if cfg.use_ema else None)
         return TrainState(step=jnp.zeros((), jnp.int32), params=unet_params,
                           opt_state=optimizer.init(unet_params), ema_params=ema)
     raise ValueError(f"unknown train_mode {cfg.train_mode!r}")

@@ -224,3 +224,44 @@ def test_pallas_kernels_partition_over_batch(monkeypatch):
     got_a = jax.jit(fa)(jax.device_put(q, dp))
     np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_zero1_matches_and_shards_moments(setup):
+    """ZeRO-1 (--zero1): Adam moments shard over 'data'; the update math is
+    unchanged (elementwise) so the loss equals the unsharded run's, and the
+    updated state keeps the dp-sharded moment layout across the step."""
+    models, params = setup
+    devices = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devices.reshape(4, 1), ("data", "model"))
+    from svd_xtend_tpu.core.config import TrainConfig
+    batch = jax.random.uniform(jax.random.PRNGKey(7), (4, 2, 32, 32, 3)) * 2 - 1
+
+    losses = {}
+    moment_sharded = {}
+    for zero1 in (False, True):
+        cfg = TrainConfig(train_mode="full", learning_rate=1e-3,
+                          lr_scheduler="constant", zero1=zero1, use_ema=True)
+        opt = make_optimizer(cfg)
+        unet0 = jax.tree.map(lambda x: x.copy(), params["unet"])
+        state = create_train_state(cfg, unet0, opt)
+        step, place_state, place_batch = make_sharded_train_step(
+            models, cfg, opt,
+            {"vae": params["vae"], "clip": params["clip"]}, mesh)
+        with mesh:
+            state = place_state(state)
+            state, metrics = step(state, place_batch(batch),
+                                  jax.random.PRNGKey(3))
+        losses[zero1] = float(metrics["loss"])
+        flat = jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+        found = False
+        for path, leaf in flat:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "mu/" in name and getattr(leaf, "ndim", 0) >= 2:
+                spec = getattr(leaf.sharding, "spec", None)
+                found = found or (spec is not None and
+                                  "data" in jax.tree.leaves(tuple(spec)))
+        moment_sharded[zero1] = found
+
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
+    assert moment_sharded[True], "zero1 moments not sharded over 'data'"
+    assert not moment_sharded[False]
