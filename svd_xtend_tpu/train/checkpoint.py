@@ -27,19 +27,26 @@ from ..core.config import TrainConfig
 CKPT_PREFIX = "checkpoint-"
 
 
-def _ckpt_steps(output_dir: str):
+def _ckpt_steps(output_dir: str, complete_only: bool = False):
+    """Checkpoint step numbers under output_dir. complete_only skips dirs
+    whose orbax 'state' subdir hasn't finalized (async save in flight or a
+    crash mid-write) — resume-from-latest must never pick those."""
     if not os.path.isdir(output_dir):
         return []
     steps = []
     for name in os.listdir(output_dir):
         m = re.fullmatch(rf"{CKPT_PREFIX}(\d+)", name)
-        if m:
-            steps.append(int(m.group(1)))
+        if not m:
+            continue
+        if complete_only and not os.path.isdir(
+                os.path.join(output_dir, name, "state")):
+            continue
+        steps.append(int(m.group(1)))
     return sorted(steps)
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:
-    steps = _ckpt_steps(output_dir)
+    steps = _ckpt_steps(output_dir, complete_only=True)
     return os.path.join(output_dir, f"{CKPT_PREFIX}{steps[-1]}") if steps else None
 
 
@@ -55,11 +62,19 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
 
     def save(self, step: int, state: Any, cfg: TrainConfig,
-             data_state: Optional[dict] = None) -> str:
+             data_state: Optional[dict] = None,
+             blocking: bool = False) -> str:
+        """Async by default (SURVEY.md §5: Orbax async checkpointing):
+        training resumes as soon as the device buffers are snapshotted;
+        serialization overlaps the next steps. A new save (or `wait()`)
+        fences the previous one. blocking=True for preemption/final saves."""
+        self._ckptr.wait_until_finished()          # fence the previous save
         path = os.path.join(self.output_dir, f"{CKPT_PREFIX}{step}")
         self._ckptr.save(os.path.join(path, "state"), state)
-        self._ckptr.wait_until_finished()
+        if blocking:
+            self._ckptr.wait_until_finished()
         if jax.process_index() == 0:
+            os.makedirs(path, exist_ok=True)   # async: orbax may not have
             with open(os.path.join(path, "config.json"), "w") as f:
                 f.write(cfg.to_json())
             with open(os.path.join(path, "data_state.json"), "w") as f:
@@ -67,10 +82,19 @@ class CheckpointManager:
         self._rotate()
         return path
 
+    def wait(self):
+        """Block until any in-flight async save is durable (call before
+        process exit and before restore-from-latest in the same process);
+        re-rotates so the just-landed checkpoint counts against the limit."""
+        self._ckptr.wait_until_finished()
+        self._rotate()
+
     def _rotate(self):
         if jax.process_index() != 0:
             return
-        steps = _ckpt_steps(self.output_dir)
+        # rotate among COMPLETE checkpoints only: an in-flight async save
+        # must not cause deletion of a durable one before it lands
+        steps = _ckpt_steps(self.output_dir, complete_only=True)
         for s in steps[: max(0, len(steps) - self.total_limit)]:
             import shutil
             shutil.rmtree(os.path.join(self.output_dir, f"{CKPT_PREFIX}{s}"),
@@ -78,6 +102,7 @@ class CheckpointManager:
 
     def restore(self, path: str, abstract_state: Any
                 ) -> Tuple[Any, TrainConfig, dict]:
+        self._ckptr.wait_until_finished()    # same-process save -> restore
         if path == "latest":
             resolved = latest_checkpoint(self.output_dir)
             if resolved is None:

@@ -279,7 +279,8 @@ def main(argv=None):
         t_last = time.perf_counter()
         for step in range(start, cfg.max_train_steps):
             if preempted["flag"]:
-                manager.save(step, jax.device_get(state), cfg, loader.state())
+                manager.save(step, jax.device_get(state), cfg, loader.state(),
+                             blocking=True)
                 logger.warning("preemption signal: checkpoint saved at step %d",
                                step)
                 break
@@ -315,6 +316,7 @@ def main(argv=None):
 
     # final export (reference train_svd.py:1166-1189)
     loader.close()
+    manager.wait()                  # in-flight async checkpoint -> durable
     if jax.process_index() == 0:
         final_unet = (state.ema_params if state.ema_params is not None
                       else unet_params_of(state, cfg))
