@@ -169,9 +169,11 @@ def load_or_init_params(models: SVDModels, args, rng):
 
 
 def run_validation(models: SVDModels, params: dict, args, cfg: TrainConfig,
-                   step: int, logger) -> None:
+                   step: int, logger, writer=None) -> None:
     """Generate a video from the fixed validation image and save a GIF
-    (reference train_svd.py:1092-1157)."""
+    (reference train_svd.py:1092-1157), plus quantitative metrics the
+    reference never computes (utils/eval.py: CLIP frame score, temporal
+    consistency, pixel dynamics) into the metric writer."""
     if jax.process_index() != 0:
         return
     from PIL import Image
@@ -195,6 +197,10 @@ def run_validation(models: SVDModels, params: dict, args, cfg: TrainConfig,
                   for j in range(video.shape[1])]
         suffix = f"_{i}" if args.num_validation_images > 1 else ""
         export_to_gif(frames, os.path.join(out_dir, f"val_img_{step}{suffix}.gif"))
+        if writer is not None and i == 0:
+            from ..utils.eval import video_metrics
+            m = video_metrics(models, params, video, image)
+            writer.write(step, {f"val/{k}": float(v) for k, v in m.items()})
     logger.info("validation GIF(s) saved at step %d", step)
 
 
@@ -312,7 +318,8 @@ def main(argv=None):
                 eval_params = dict(params)
                 eval_params["unet"] = (state.ema_params if state.ema_params
                                        is not None else unet_params_of(state, cfg))
-                run_validation(models, eval_params, args, cfg, step + 1, logger)
+                run_validation(models, eval_params, args, cfg, step + 1,
+                               logger, writer=writer)
 
     # final export (reference train_svd.py:1166-1189)
     loader.close()

@@ -94,3 +94,34 @@ def test_estimate_motion_bucket_orders_by_motion():
     b_still = int(estimate_motion_bucket(still)[0])
     b_move = int(estimate_motion_bucket(moving)[0])
     assert b_still == 0 and b_move > b_still
+
+
+def test_video_eval_metrics():
+    """utils/eval.py: CLIP frame score / temporal consistency / dynamics —
+    sane ranges, and a static video scores perfect consistency with zero
+    dynamics while pure-noise frames score lower consistency."""
+    import jax
+    import jax.numpy as jnp
+
+    from svd_xtend_tpu.core.config import TINY_CLIP, TINY_UNET, TINY_VAE
+    from svd_xtend_tpu.diffusion.pipeline import SVDModels, init_pipeline_params
+    from svd_xtend_tpu.utils.eval import video_metrics
+
+    models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                       clip_config=TINY_CLIP, dtype=jnp.float32)
+    params = init_pipeline_params(models, jax.random.PRNGKey(0))
+
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 2 - 1
+    static = jnp.broadcast_to(img[:, None], (1, 4, 32, 32, 3))
+    m_static = video_metrics(models, params, static, img)
+    assert abs(float(m_static["clip_temporal_consistency"]) - 1.0) < 1e-4
+    assert float(m_static["pixel_dynamics"]) == 0.0
+    # the conditioning image IS every frame -> frame score is maximal (1.0)
+    assert abs(float(m_static["clip_frame_score"]) - 1.0) < 1e-4
+
+    noise = jax.random.uniform(jax.random.PRNGKey(2), (1, 4, 32, 32, 3)) * 2 - 1
+    m_noise = video_metrics(models, params, noise, img)
+    assert float(m_noise["clip_temporal_consistency"]) < 0.9999
+    assert float(m_noise["pixel_dynamics"]) > 0.1
+    assert (float(m_noise["clip_frame_score"])
+            < float(m_static["clip_frame_score"]))
