@@ -265,3 +265,27 @@ def test_zero1_matches_and_shards_moments(setup):
     np.testing.assert_allclose(losses[True], losses[False], rtol=2e-4)
     assert moment_sharded[True], "zero1 moments not sharded over 'data'"
     assert not moment_sharded[False]
+
+
+def test_zero1_with_8bit_adam(setup):
+    """ZeRO-1 composes with the blockwise-int8 Adam states (train/quant.py):
+    the dp-sharding rule only touches dims divisible by dp, so int8 moment
+    blocks and their scale vectors place without error and the step runs."""
+    models, params = setup
+    devices = np.asarray(jax.devices()[:4])
+    mesh = Mesh(devices.reshape(4, 1), ("data", "model"))
+    from svd_xtend_tpu.core.config import TrainConfig
+    cfg = TrainConfig(train_mode="full", learning_rate=1e-3,
+                      lr_scheduler="constant", zero1=True, use_8bit_adam=True)
+    opt = make_optimizer(cfg)
+    unet0 = jax.tree.map(lambda x: x.copy(), params["unet"])
+    state = create_train_state(cfg, unet0, opt)
+    step, place_state, place_batch = make_sharded_train_step(
+        models, cfg, opt, {"vae": params["vae"], "clip": params["clip"]}, mesh)
+    batch = jax.random.uniform(jax.random.PRNGKey(7), (4, 2, 32, 32, 3)) * 2 - 1
+    with mesh:
+        state = place_state(state)
+        state, metrics = step(state, place_batch(batch), jax.random.PRNGKey(3))
+        state, metrics = step(state, place_batch(batch), jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
