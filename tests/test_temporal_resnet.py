@@ -141,6 +141,18 @@ def test_module_param_tree_unchanged(force_kernel):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_multi_tile_grid_parity(force_kernel, monkeypatch):
+    """Force sb < S so the kernel runs a multi-tile S grid: norm2's partial
+    stats must sum correctly across tiles (the (B, nS, C) accumulation)."""
+    monkeypatch.setattr(trk, "_VMEM_BUDGET", 16 * 1024)   # tiny -> sb=8
+    args = _args(b=1, f=3, s=32, c=16)
+    assert trk._choose_sb(3, 32, 16) < 32
+    out = trk.temporal_resnet_block(*args, groups=4, eps=1e-5)
+    ref = trk.temporal_resnet_reference(*args, 4, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_sharded_batch_parity(force_kernel):
     """Batch-sharded execution over the 8-device CPU mesh == single-device
     (the custom_partitioning rules in ops/pallas/partition.py)."""
