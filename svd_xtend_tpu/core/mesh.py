@@ -58,16 +58,17 @@ _COLUMN_PARALLEL = re.compile(r"(to_q|to_k|to_v|net_0_proj|fc1|proj_in)$")
 _ROW_PARALLEL = re.compile(r"(to_out|net_2|fc2|proj_out)$")
 
 
-def _path_str(path) -> str:
-    parts = []
-    for p in path:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
+def path_str(path) -> str:
+    """Join a jax tree_util keypath into 'a/b/c' — THE canonical helper
+    (sharding rules, trainable masks, and LoRA targeting all match against
+    these strings; a second implementation drifting would silently
+    desynchronize them). Dict keys and sequence indices render bare;
+    dataclass attrs render as jax's '.name'."""
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+
+
+_path_str = path_str
 
 
 def param_pspec(path, value, tp: bool = True) -> P:

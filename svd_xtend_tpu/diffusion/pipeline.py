@@ -62,6 +62,17 @@ class SVDModels:
     def scheduler(self) -> EulerDiscreteScheduler:
         return EulerDiscreteScheduler(self.scheduler_config)
 
+    def check_resolution(self, height: int, width: int) -> None:
+        """THE train/inference resolution guard: H and W must survive the
+        VAE downsample times the UNet's 2^(levels-1) (the reference has the
+        same implicit constraint via diffusers blocks)."""
+        ds = self.vae_config.downsample_factor
+        unet_div = ds * 2 ** (len(self.unet_config.block_out_channels) - 1)
+        if height % unet_div or width % unet_div:
+            raise ValueError(
+                f"height/width must be divisible by {unet_div} "
+                f"(VAE {ds}x downsample x UNet levels); got {width}x{height}")
+
     def with_tracklet(self, dim: int, heads: int = None) -> "SVDModels":
         """This bundle with the Tracklet2Video UNet branch enabled — the one
         spelling every entry point (train CLI, examples, benches) uses, so
@@ -152,32 +163,38 @@ def decode_latents_chunked(models: SVDModels, params: dict, latents: Array,
                            quant_mode: Optional[str] = None) -> Array:
     """(B, F, h, w, 4) scaled latents -> (B, F, H, W, 3) pixels in [-1, 1].
 
-    Chunked over frames like the reference's decode_chunk_size=8
-    (train_svd.py:1135); chunks are equal-size (F padded up) so the scan body
-    has one static shape.
+    Chunked over frames exactly like the reference pipeline's
+    decode_chunk_size=8 (train_svd.py:1135; diffusers decodes
+    `latents[i : i + chunk]` for i in range(0, F, chunk)): full chunks via a
+    lax.map plus one RAGGED remainder decode. Chunks must contain only real
+    frames — the temporal decoder's frame-axis convs (models/vae.py) mix
+    frames within a chunk, so padding a chunk with zero latents would bleed
+    'black' frames into the real trailing frames (caught in review; the
+    previous equal-chunks-with-pad scheme corrupted the last frames whenever
+    F was not divisible by the chunk count).
     """
     b, f, h, w, c = latents.shape
     z = latents / models.vae_config.scaling_factor
-    # equalized chunks: decode_chunk_size is a memory CAP (reference
-    # train_svd.py:1135); ceil-dividing into equal chunks respects it with
-    # minimal padding (f=14, cap 8 -> 2x7, zero pad; naive 8+pad(2) wastes
-    # 14% of decoder FLOPs)
     cap = min(decode_chunk_size, f)
-    n_chunks = -(-f // cap)
-    chunk = -(-f // n_chunks)
-    pad = n_chunks * chunk - f
-    z = jnp.pad(z, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
-    z = z.reshape(b, n_chunks, chunk, h, w, c).transpose(1, 0, 2, 3, 4, 5)
+    n_full = f // cap
+    rem = f - n_full * cap
 
     vae = models.vae()
     decode_one = lambda zc: vae.apply({"params": params["vae"]},
                                       zc.astype(models.dtype), method=vae.decode)
     from ..ops import quant as _q
-    with _q.quantized(quant_mode):       # trace-time scope: decoder convs
-        frames = jax.lax.map(decode_one, z)                 # (n, B, chunk, H, W, 3)
     ds = models.vae_config.downsample_factor
-    frames = frames.transpose(1, 0, 2, 3, 4, 5).reshape(b, f + pad, ds * h, ds * w, -1)
-    return frames[:, :f].astype(jnp.float32)
+    parts = []
+    with _q.quantized(quant_mode):       # trace-time scope: decoder convs
+        if n_full:
+            zf = z[:, :n_full * cap].reshape(b, n_full, cap, h, w, c)
+            frames = jax.lax.map(decode_one, zf.transpose(1, 0, 2, 3, 4, 5))
+            parts.append(frames.transpose(1, 0, 2, 3, 4, 5).reshape(
+                b, n_full * cap, ds * h, ds * w, -1))
+        if rem:
+            parts.append(decode_one(z[:, n_full * cap:]))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return out.astype(jnp.float32)
 
 
 def generate(
@@ -213,14 +230,7 @@ def _generate(
     b = image.shape[0]
     f = cfg.num_frames
     ds = models.vae_config.downsample_factor
-    # latent resolution must survive the UNet's 2^(levels-1) downsampling
-    # (the reference has the same implicit constraint via diffusers blocks)
-    unet_div = ds * 2 ** (len(models.unet_config.block_out_channels) - 1)
-    if cfg.height % unet_div or cfg.width % unet_div:
-        raise ValueError(
-            f"height/width must be divisible by {unet_div} "
-            f"(VAE {ds}x downsample x UNet levels); got "
-            f"{cfg.width}x{cfg.height}")
+    models.check_resolution(cfg.height, cfg.width)
     h8, w8 = cfg.height // ds, cfg.width // ds
     lat_c = models.vae_config.latent_channels
     k_cond, k_init = jax.random.split(rng)

@@ -47,12 +47,7 @@ def encode_batch(models: SVDModels, params: dict, pixel_values: Array,
     from ..models.clip import preprocess_for_clip
 
     b, f, h, w, _ = pixel_values.shape
-    unet_div = (models.vae_config.downsample_factor
-                * 2 ** (len(models.unet_config.block_out_channels) - 1))
-    if h % unet_div or w % unet_div:
-        raise ValueError(
-            f"train height/width must be divisible by {unet_div} "
-            f"(VAE downsample x UNet levels); got {w}x{h}")
+    models.check_resolution(h, w)
     k_lat, k_aug, k_cond = jax.random.split(rng, 3)
     vae = models.vae()
     scaling = models.vae_config.scaling_factor
@@ -88,8 +83,8 @@ def conditioning_dropout(encodings: TrainBatchEncodings, rng: Array,
                          prob: float) -> TrainBatchEncodings:
     """InstructPix2Pix §3.2.1 scheme (reference train_svd.py:990-1011):
     one uniform draw r per sample; CLIP zeroed for r < 2p; image latent zeroed
-    for p <= r < 3p (so both drop for r < p, CLIP-only for [p,2p),
-    image-only for [2p,3p))."""
+    for p <= r < 3p — i.e. CLIP-only dropped for r < p, BOTH dropped for
+    [p, 2p), image-only for [2p, 3p)."""
     if prob <= 0.0:
         return encodings
     b = encodings.latents.shape[0]

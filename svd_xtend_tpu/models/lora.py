@@ -27,8 +27,7 @@ Array = jax.Array
 DEFAULT_TARGETS = ("to_q", "to_k", "to_v", "to_out")
 
 
-def _path_str(path) -> str:
-    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+from ..core.mesh import path_str as _path_str
 
 
 def target_paths(params: Any, targets: Tuple[str, ...] = DEFAULT_TARGETS):

@@ -29,8 +29,7 @@ from ..diffusion.pipeline import SVDModels
 from ..train.state import TrainState, make_train_step
 
 
-def _path_str(path) -> str:
-    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+from ..core.mesh import path_str as _path_str
 
 
 def state_shardings(state: Any, mesh: Mesh, zero1: bool = False) -> Any:

@@ -70,7 +70,14 @@ class CheckpointManager:
         fences the previous one. blocking=True for preemption/final saves."""
         self._ckptr.wait_until_finished()          # fence the previous save
         path = os.path.join(self.output_dir, f"{CKPT_PREFIX}{step}")
-        self._ckptr.save(os.path.join(path, "state"), state)
+        state_dir = os.path.join(path, "state")
+        if os.path.isdir(state_dir):
+            # same-step save already durable (e.g. SIGTERM right after a
+            # periodic save, or preemption on the step just resumed): the
+            # state at a step boundary is identical — skip instead of
+            # tripping orbax's exists-error and losing the graceful save
+            return path
+        self._ckptr.save(state_dir, state)
         if blocking:
             self._ckptr.wait_until_finished()
         if jax.process_index() == 0:

@@ -35,7 +35,7 @@ from ..diffusion.pipeline import SVDModels, generate, init_pipeline_params
 from ..io.media import export_to_gif
 from ..parallel import make_sharded_train_step
 from ..train import checkpoint as ckpt_lib
-from ..train.optim import get_schedule, make_optimizer
+from ..train.optim import make_optimizer, training_schedule
 from ..train.state import create_train_state, param_audit, trainable_mask, unet_params_of
 from ..utils.logging import MetricWriter, get_logger
 
@@ -238,8 +238,7 @@ def main(argv=None):
     frozen = {"vae": params["vae"], "clip": params["clip"]}
 
     optimizer = make_optimizer(cfg, num_processes=jax.process_count())
-    schedule = get_schedule(cfg.lr_scheduler, cfg.learning_rate,
-                            cfg.lr_warmup_steps, cfg.max_train_steps)
+    schedule = training_schedule(cfg, num_processes=jax.process_count())
     state = create_train_state(cfg, params["unet"], optimizer,
                                lora_rng=jax.random.fold_in(rng, 1))
 
@@ -283,9 +282,10 @@ def main(argv=None):
         state = place_state(state)
         start = int(state.step)
         t_last = time.perf_counter()
+        last_logged = start
         for step in range(start, cfg.max_train_steps):
             if preempted["flag"]:
-                manager.save(step, jax.device_get(state), cfg, loader.state(),
+                manager.save(step, state, cfg, loader.state(),
                              blocking=True)
                 logger.warning("preemption signal: checkpoint saved at step %d",
                                step)
@@ -300,7 +300,10 @@ def main(argv=None):
             if (step + 1) % 10 == 0 or step == start:
                 loss = float(metrics["loss"])
                 now = time.perf_counter()
-                sps = 10 / (now - t_last) if step > start else 1 / (now - t_last)
+                # actual steps since the last log (the first post-resume
+                # window can be <10 steps — a constant 10 inflates steps/sec)
+                sps = (step + 1 - last_logged) / (now - t_last)
+                last_logged = step + 1
                 t_last = now
                 writer.write(step + 1, {"train_loss": loss,
                                         "grad_norm": float(metrics["grad_norm"]),
@@ -310,7 +313,7 @@ def main(argv=None):
                             step + 1, loss, sps)
 
             if (step + 1) % cfg.checkpointing_steps == 0:
-                manager.save(step + 1, jax.device_get(state), cfg,
+                manager.save(step + 1, state, cfg,
                              loader.state())
                 logger.info("checkpoint saved at step %d", step + 1)
 

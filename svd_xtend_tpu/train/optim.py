@@ -67,16 +67,23 @@ def get_schedule(name: str, base_lr: float, warmup_steps: int, total_steps: int,
     raise ValueError(f"unknown lr_scheduler {name!r}")
 
 
-def make_optimizer(cfg: TrainConfig, num_processes: int = 1,
-                   mu_dtype: Optional[jnp.dtype] = None) -> optax.GradientTransformation:
+def training_schedule(cfg: TrainConfig, num_processes: int = 1):
+    """THE LR schedule the optimizer applies — also what loggers must report
+    (a second schedule built from unscaled cfg values diverges under
+    --scale_lr / multi-process warmup scaling; caught in review)."""
     lr = cfg.learning_rate
     if cfg.scale_lr:
         # reference scaling: lr * grad_accum * per_device_bs * num_processes
         # (train_svd.py:803-805)
         lr = lr * cfg.gradient_accumulation_steps * cfg.per_device_batch_size * num_processes
-    schedule = get_schedule(cfg.lr_scheduler, lr,
-                            cfg.lr_warmup_steps * num_processes,
-                            cfg.max_train_steps * num_processes)
+    return get_schedule(cfg.lr_scheduler, lr,
+                        cfg.lr_warmup_steps * num_processes,
+                        cfg.max_train_steps * num_processes)
+
+
+def make_optimizer(cfg: TrainConfig, num_processes: int = 1,
+                   mu_dtype: Optional[jnp.dtype] = None) -> optax.GradientTransformation:
+    schedule = training_schedule(cfg, num_processes)
     chain = []
     if cfg.max_grad_norm and cfg.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))

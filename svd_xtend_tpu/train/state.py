@@ -40,8 +40,7 @@ Array = jax.Array
 
 # ---------------------------------------------------------------- masks ----
 
-def _path_str(path) -> str:
-    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+from ..core.mesh import path_str as _path_str
 
 
 def trainable_mask(params: Any, mode: str) -> Any:

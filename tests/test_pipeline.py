@@ -86,3 +86,35 @@ def test_uncond_reuse_interval_1_is_exact_and_k2_runs(setup):
     # step 0 refreshes, so outputs correlate but are not identical
     diff = float(jnp.mean(jnp.abs(k2 - exact)))
     assert 0.0 < diff < 0.5
+
+
+def test_decode_ragged_chunks_match_reference_semantics():
+    """decode_chunk_size chunks must contain only REAL frames (diffusers
+    decodes latents[i:i+chunk] raggedly): each chunk's output equals its
+    independent decode, and in particular no zero-pad latent ever bleeds
+    into trailing frames through the temporal decoder's frame convs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from svd_xtend_tpu.core.config import TINY_CLIP, TINY_UNET, TINY_VAE
+    from svd_xtend_tpu.diffusion.pipeline import (SVDModels,
+                                                  decode_latents_chunked,
+                                                  init_pipeline_params)
+
+    models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                       clip_config=TINY_CLIP, dtype=jnp.float32)
+    params = init_pipeline_params(models, jax.random.PRNGKey(0))
+    f, chunk = 5, 2                       # ragged: chunks [2, 2, 1]
+    lat = jax.random.normal(jax.random.PRNGKey(1), (1, f, 4, 4, 4)) * 0.5
+    out = decode_latents_chunked(models, params, lat, chunk)
+    assert out.shape[1] == f
+
+    vae = models.vae()
+    z = lat / models.vae_config.scaling_factor
+    for start in range(0, f, chunk):
+        ref = vae.apply({"params": params["vae"]}, z[:, start:start + chunk],
+                        method=vae.decode)
+        np.testing.assert_allclose(
+            np.asarray(out[:, start:start + chunk]),
+            np.asarray(ref, np.float32), atol=1e-4, rtol=1e-4)
