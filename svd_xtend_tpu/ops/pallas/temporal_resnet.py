@@ -90,13 +90,15 @@ def supports(b: int, f: int, s: int, c: int) -> bool:
 def _tconv_core(x_ref, k_ref, sc_ref, sh_ref, *, f: int):
     """silu(x·sc+sh) then the 3-tap frame conv; returns the f32 accumulator.
 
-    x_ref block (1, F, sb, C); k_ref (3, C, C); sc/sh (1, C) f32 per-batch
-    GN folds. The taps are matmuls over frame-shifted slices — output frame
-    t takes x[t-1]@k0 + x[t]@k1 + x[t+1]@k2 (SAME zero padding).
+    x_ref block (1, F, sb, C); k_ref (3, C, C); sc/sh (1, 1, C) f32 per-batch
+    GN folds (trailing-singleton layout so the block's last two dims equal
+    the array's — Mosaic's 8×128 block rule rejects a (1, C) block over a
+    (B, C) operand). The taps are matmuls over frame-shifted slices — output
+    frame t takes x[t-1]@k0 + x[t]@k1 + x[t+1]@k2 (SAME zero padding).
     """
     x = x_ref[0].astype(jnp.float32)                     # (F, sb, C)
     sb, c = x.shape[1], x.shape[2]
-    xv = x * sc_ref[...][:, None, :] + sh_ref[...][:, None, :]
+    xv = x * sc_ref[0][:, None, :] + sh_ref[0][:, None, :]
     xv = (xv * jax.nn.sigmoid(xv)).astype(k_ref.dtype)
     k = k_ref[...]                                       # (3, C, Co)
     co = k.shape[2]
@@ -123,8 +125,8 @@ def _kernel_a(x_ref, k_ref, b_ref, sc_ref, sh_ref, t_ref, o_ref, ps_ref,
     # norm2 partial stats from the STORED (rounded) value, matching what the
     # unfused GN would read back from HBM
     hf = hb.astype(jnp.float32)
-    ps_ref[...] = jnp.sum(hf, axis=(0, 1))[None, None, :]
-    pq_ref[...] = jnp.sum(hf * hf, axis=(0, 1))[None, None, :]
+    ps_ref[...] = jnp.sum(hf, axis=(0, 1))[None, None, None, :]
+    pq_ref[...] = jnp.sum(hf * hf, axis=(0, 1))[None, None, None, :]
 
 
 def _kernel_b(x_ref, k_ref, b_ref, sc_ref, sh_ref, res_ref, o_ref, *, f: int):
@@ -140,32 +142,35 @@ def _call_a(x: Array, k: Array, b: Array, sc: Array, sh: Array, t: Array):
     ns = s // sb
     grid = (bsz, ns)
     xspec = pl.BlockSpec((1, f, sb, c), lambda bi, si: (bi, 0, si, 0))
-    return pl.pallas_call(
+    # sc/sh carried as (B, 1, C) and ps/pq emitted as (B, nS, 1, C): blocks
+    # whose last two dims equal the array's, per Mosaic's 8×128 block rule.
+    h, ps, pq = pl.pallas_call(
         functools.partial(_kernel_a, f=f),
         grid=grid,
         in_specs=[
             xspec,
             pl.BlockSpec((3, c, co), lambda bi, si: (0, 0, 0)),
             pl.BlockSpec((1, co), lambda bi, si: (0, 0)),
-            pl.BlockSpec((1, c), lambda bi, si: (bi, 0)),
-            pl.BlockSpec((1, c), lambda bi, si: (bi, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, si: (bi, 0, 0)),
             pl.BlockSpec((1, f, co), lambda bi, si: (bi, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, f, sb, co), lambda bi, si: (bi, 0, si, 0)),
-            pl.BlockSpec((1, 1, co), lambda bi, si: (bi, si, 0)),
-            pl.BlockSpec((1, 1, co), lambda bi, si: (bi, si, 0)),
+            pl.BlockSpec((1, 1, 1, co), lambda bi, si: (bi, si, 0, 0)),
+            pl.BlockSpec((1, 1, 1, co), lambda bi, si: (bi, si, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, f, s, co), x.dtype),
-            jax.ShapeDtypeStruct((bsz, ns, co), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, ns, co), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ns, 1, co), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ns, 1, co), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(x, k, b.reshape(1, co), sc, sh, t)
+    )(x, k, b.reshape(1, co), sc.reshape(bsz, 1, c), sh.reshape(bsz, 1, c), t)
+    return h, ps.reshape(bsz, ns, co), pq.reshape(bsz, ns, co)
 
 
 def _call_b(x: Array, k: Array, b: Array, sc: Array, sh: Array, res: Array):
@@ -182,8 +187,8 @@ def _call_b(x: Array, k: Array, b: Array, sc: Array, sh: Array, res: Array):
             xspec,
             pl.BlockSpec((3, c, co), lambda bi, si: (0, 0, 0)),
             pl.BlockSpec((1, co), lambda bi, si: (0, 0)),
-            pl.BlockSpec((1, c), lambda bi, si: (bi, 0)),
-            pl.BlockSpec((1, c), lambda bi, si: (bi, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, si: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda bi, si: (bi, 0, 0)),
             ospec,
         ],
         out_specs=ospec,
@@ -192,7 +197,8 @@ def _call_b(x: Array, k: Array, b: Array, sc: Array, sh: Array, res: Array):
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(x, k, b.reshape(1, co), sc, sh, res)
+    )(x, k, b.reshape(1, co), sc.reshape(bsz, 1, c), sh.reshape(bsz, 1, c),
+      res)
 
 
 # ------------------------------------------------- SPMD partitioning ------
