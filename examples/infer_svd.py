@@ -60,20 +60,13 @@ def main():
         models = models.with_tracklet(args.tracklet_dim)
     params = init_pipeline_params(models, jax.random.PRNGKey(0))
     if args.model_path:
-        root = args.model_path
-        params["unet"] = convert.diffusers_to_flax(convert.load_safetensors(
-            os.path.join(root, "unet", "diffusion_pytorch_model.safetensors")),
-            params["unet"])
-        params["vae"] = convert.diffusers_to_flax(convert.load_safetensors(
-            os.path.join(root, "vae", "diffusion_pytorch_model.safetensors")),
-            params["vae"])
-        params["clip"] = convert.clip_transformers_to_flax(
-            convert.load_safetensors(
-                os.path.join(root, "image_encoder", "model.safetensors")),
-            params["clip"], patch_size=models.clip_config.patch_size)
+        params = convert.load_diffusers_checkpoint(
+            args.model_path, params,
+            clip_patch_size=models.clip_config.patch_size)
     if args.unet_path:
-        params["unet"] = convert.diffusers_to_flax(convert.load_safetensors(
-            os.path.join(args.unet_path, "diffusion_pytorch_model.safetensors")),
+        params["unet"] = convert.diffusers_to_flax(
+            convert.load_component_state(
+                args.unet_path, "diffusion_pytorch_model.safetensors"),
             params["unet"])
     if args.tracklet_path:
         params["unet"] = convert.tracklet_branch_into_tree(

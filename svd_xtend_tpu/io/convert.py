@@ -340,3 +340,73 @@ def save_safetensors(path: str, state_dict: Dict[str, np.ndarray],
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     from safetensors.numpy import load_file
     return load_file(path)
+
+
+def load_component_state(component_dir: str, filename: str
+                         ) -> Dict[str, np.ndarray]:
+    """State dict for one pipeline component, following a
+    ``<filename>.index.json`` shard map if present (the format hub
+    checkpoints >5 GB ship in — the real SVD UNet is 1.5B params fp32)."""
+    import json
+    import os
+    path = os.path.join(component_dir, filename)
+    index = path + ".index.json"
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        sd: Dict[str, np.ndarray] = {}
+        for shard in sorted(set(weight_map.values())):
+            sd.update(load_safetensors(os.path.join(component_dir, shard)))
+        return sd
+    return load_safetensors(path)
+
+
+def load_diffusers_checkpoint(root: str, params: Tree, *,
+                              clip_patch_size: int = 14,
+                              components=("unet", "vae", "clip"),
+                              shardings: Optional[Dict[str, Any]] = None,
+                              ) -> Tree:
+    """One-call pretrained-checkpoint loader (reference
+    ``from_pretrained``, train_svd.py:643-656).
+
+    ``root`` is a diffusers pipeline directory (``unet/``, ``vae/``,
+    ``image_encoder/`` subdirs, plain or shard-indexed safetensors);
+    ``params`` is the template tree from ``init_pipeline_params`` whose leaf
+    dtypes define the dtype policy (fp32 checkpoint tensors are cast on HOST
+    to the template dtype — bf16 halves the host->device transfer of the
+    1.5B-param UNet — then ``device_put`` per component, optionally to
+    ``shardings[component]`` (a tree or single sharding) for direct sharded
+    placement on a mesh).
+
+    Returns a new params dict; components absent from ``components`` keep
+    their template values.
+    """
+    import os
+
+    converted = dict(params)
+    if "unet" in components:
+        sd = load_component_state(os.path.join(root, "unet"),
+                                  "diffusion_pytorch_model.safetensors")
+        converted["unet"] = diffusers_to_flax(sd, params["unet"])
+        del sd
+    if "vae" in components:
+        sd = load_component_state(os.path.join(root, "vae"),
+                                  "diffusion_pytorch_model.safetensors")
+        converted["vae"] = diffusers_to_flax(sd, params["vae"])
+        del sd
+    if "clip" in components:
+        sd = load_component_state(os.path.join(root, "image_encoder"),
+                                  "model.safetensors")
+        converted["clip"] = clip_transformers_to_flax(
+            sd, params["clip"], patch_size=clip_patch_size)
+        del sd
+    for name in components:
+        shard = (shardings or {}).get(name)
+        if shard is None:
+            converted[name] = jax.device_put(converted[name])
+        elif isinstance(shard, jax.sharding.Sharding):
+            converted[name] = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, shard), converted[name])
+        else:  # a tree of shardings matching the component tree
+            converted[name] = jax.device_put(converted[name], shard)
+    return converted

@@ -8,6 +8,8 @@ flattened 3x256 sinusoids of [fps, motion_bucket_id, noise_aug_strength].
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -37,16 +39,22 @@ def sinusoidal_embedding(
 
 
 class TimestepEmbedding(nn.Module):
-    """linear -> SiLU -> linear MLP over sinusoid features."""
+    """linear -> SiLU -> linear MLP over sinusoid features.
+
+    ``hidden_dim`` widens linear_1 (diffusers TimestepEmbedding's
+    ``time_embed_dim`` with ``out_dim`` set — the transformer frame-position
+    embedding is C -> 4C -> C); default is the square dim -> dim -> dim form
+    used by time_embedding/add_embedding."""
 
     dim: int
+    hidden_dim: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="linear_1")(x)
+        x = nn.Dense(self.hidden_dim or self.dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="linear_1")(x)
         x = nn.silu(x)
         x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="linear_2")(x)

@@ -53,8 +53,11 @@ class Attention(nn.Module):
         inner = self.num_heads * self.head_dim
         out_dim = self.out_dim or x.shape[-1]
         ctx = x if context is None else context
+        # diffusers UNet attention convention: to_q/to_k/to_v bias-free,
+        # to_out biased — real-checkpoint state dicts carry no qkv biases
         dense = lambda feat, name: nn.Dense(
-            feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+            feat, use_bias=name == "to_out", dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
 
         if context is not None and ctx.shape[-2] == 1:
             # Single-key cross-attention (SVD: the one CLIP token): softmax
@@ -189,8 +192,10 @@ class FrameAxisAttention(nn.Module):
         inner = self.num_heads * self.head_dim
         out_dim = self.out_dim or c
         scale = self.head_dim ** -0.5
+        # same bias convention as Attention: qkv bias-free, to_out biased
         dense = lambda feat, name: nn.Dense(
-            feat, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+            feat, use_bias=name == "to_out", dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
 
         if context is not None and context.shape[-2] == 1:
             # Single-key cross-attention (the one CLIP token): softmax over
@@ -313,10 +318,14 @@ class TransformerSpatioTemporalModel(nn.Module):
         time_context = encoder_hidden_states.reshape(
             b, f, -1, encoder_hidden_states.shape[-1])[:, 0]
 
-        # sinusoidal frame-position embedding -> (1*F, 1, inner), broadcast over B
+        # sinusoidal frame-position embedding -> (1*F, 1, inner), broadcast
+        # over B. diffusers layout: C-dim sinusoids through a C -> 4C -> C
+        # MLP (TimestepEmbedding(in_channels, in_channels*4, out_dim=...)),
+        # so real-checkpoint time_pos_embed weights import shape-exactly.
         frame_ids = jnp.arange(f, dtype=jnp.float32)
-        t_emb = sinusoidal_embedding(frame_ids, inner * 4)
-        emb = TimestepEmbedding(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+        t_emb = sinusoidal_embedding(frame_ids, inner)
+        emb = TimestepEmbedding(inner, hidden_dim=inner * 4, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
                                 name="time_pos_embed")(t_emb.astype(self.dtype))
         emb = jnp.tile(emb, (b, 1))[:, None, :]           # (B*F, 1, inner)
 

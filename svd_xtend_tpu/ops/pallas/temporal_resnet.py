@@ -83,8 +83,16 @@ def _choose_sb(f: int, s: int, c: int) -> int:
 
 
 def supports(b: int, f: int, s: int, c: int) -> bool:
-    """Shape gate: frame axis VMEM-resident, S tileable, square channels."""
-    return f <= 32 and s % 8 == 0 and _choose_sb(f, s, c) > 0
+    """Shape gate: frame axis VMEM-resident, S tileable, square channels.
+
+    Perf clause (measured on v5e, scripts/microbench_tresnet.py 2026-08-18):
+    when C >= 1280 AND S must be split into multiple tiles, each S-tile
+    re-streams the (3, C, C) bf16 weights (9.8 MB at C=1280) and the kernel
+    LOSES to XLA (0.83x at F14 S160 C1280); every single-tile or
+    C<=640 shape wins (1.12-7.47x). Route the losing class to XLA."""
+    if f > 32 or s % 8 or _choose_sb(f, s, c) == 0:
+        return False
+    return not (c >= 1280 and _choose_sb(f, s, c) < s)
 
 
 def _tconv_core(x_ref, k_ref, sc_ref, sh_ref, *, f: int):

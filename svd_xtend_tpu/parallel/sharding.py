@@ -11,7 +11,8 @@ Parallelism coverage (SURVEY.md §2.5 table):
   DP  — batch axis over 'data' (+= optimizer sharding via TP rules)
   TP  — attention qkv/out + GEGLU matrices column/row-parallel over 'model'
   PP  — n/a by design (UNet skip topology; model fits per chip in bf16)
-  SP  — frames-axis extension point (temporal attention all-to-all), post-MVP
+  SP  — frames axis over 'frames' (MeshConfig.frames; GSPMD gathers for
+        temporal attention/convs) — tests/test_sharding.py dp2xsp2 exactness
   EP  — n/a (no MoE in the model family)
 """
 

@@ -147,25 +147,31 @@ def load_or_init_params(models: SVDModels, args, rng):
     params = init_pipeline_params(models, rng)
     if args.pretrained_model_path:
         from ..io import convert
-        root = args.pretrained_model_path
-        unet_sd = convert.load_safetensors(
-            os.path.join(root, "unet", "diffusion_pytorch_model.safetensors"))
-        params["unet"] = convert.diffusers_to_flax(unet_sd, params["unet"])
-        vae_sd = convert.load_safetensors(
-            os.path.join(root, "vae", "diffusion_pytorch_model.safetensors"))
-        params["vae"] = convert.diffusers_to_flax(vae_sd, params["vae"])
-        clip_sd = convert.load_safetensors(
-            os.path.join(root, "image_encoder", "model.safetensors"))
-        params["clip"] = convert.clip_transformers_to_flax(
-            clip_sd, params["clip"], patch_size=models.clip_config.patch_size)
+        params = convert.load_diffusers_checkpoint(
+            args.pretrained_model_path, params,
+            clip_patch_size=models.clip_config.patch_size)
     if getattr(args, "pretrain_unet", ""):
         # reference --pretrain_unet (train_svd.py:553-558): start the UNet
         # from a different finetune than the rest of the pipeline
         from ..io import convert
-        unet_sd = convert.load_safetensors(os.path.join(
-            args.pretrain_unet, "diffusion_pytorch_model.safetensors"))
+        unet_sd = convert.load_component_state(
+            args.pretrain_unet, "diffusion_pytorch_model.safetensors")
         params["unet"] = convert.diffusers_to_flax(unet_sd, params["unet"])
     return params
+
+
+def _synthetic_validation_image(height: int, width: int) -> jnp.ndarray:
+    """Deterministic (1, H, W, 3) conditioning image in [-1, 1]: a smooth
+    two-axis gradient with a bright disc off-center — enough structure for
+    CLIP conditioning and for eyeballing motion in the sampled video."""
+    y = np.linspace(-1.0, 1.0, height, dtype=np.float32)[:, None]
+    x = np.linspace(-1.0, 1.0, width, dtype=np.float32)[None, :]
+    r = np.sqrt((x - 0.3) ** 2 + (y + 0.2) ** 2)
+    disc = np.clip(1.0 - r / 0.35, 0.0, 1.0)
+    img = np.stack([0.5 * x + 0.9 * disc,
+                    0.5 * y + 0.6 * disc,
+                    0.25 * (x + y) + 0.3 * disc], axis=-1)
+    return jnp.asarray(np.clip(img, -1.0, 1.0))[None]
 
 
 def run_validation(models: SVDModels, params: dict, args, cfg: TrainConfig,
@@ -182,8 +188,12 @@ def run_validation(models: SVDModels, params: dict, args, cfg: TrainConfig,
             (cfg.width, cfg.height), Image.Resampling.BICUBIC)
         image = jnp.asarray(np.asarray(img, np.float32) / 127.5 - 1.0)[None]
     else:
-        logger.info("no --validation_image; skipping validation sampling")
-        return
+        # The reference ALWAYS validates (bundled demo.jpg,
+        # train_svd.py:1131); with no image supplied, synthesize a
+        # deterministic conditioning image so a default run still produces a
+        # visual signal every validation step.
+        logger.info("no --validation_image; using synthetic fallback image")
+        image = _synthetic_validation_image(cfg.height, cfg.width)
     pipe_cfg = PipelineConfig(height=cfg.height, width=cfg.width,
                               num_frames=cfg.num_frames,
                               num_inference_steps=args.num_inference_steps,

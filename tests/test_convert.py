@@ -83,6 +83,71 @@ def test_safetensors_roundtrip(tmp_path):
                                   sd[next(iter(loaded))])
 
 
+def test_load_diffusers_checkpoint(tmp_path):
+    """One-call loader over a synthetic diffusers pipeline dir: plain VAE +
+    CLIP safetensors, a SHARD-INDEXED UNet (the format >5 GB hub checkpoints
+    use), and the fp32-host -> template-dtype policy."""
+    import json
+
+    from svd_xtend_tpu.diffusion.pipeline import SVDModels, init_pipeline_params
+
+    models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                       clip_config=TINY_CLIP, dtype=jnp.float32)
+    src = init_pipeline_params(models, jax.random.PRNGKey(0))
+
+    # unet: two shards + weight_map index
+    unet_dir = tmp_path / "unet"
+    unet_dir.mkdir()
+    sd = convert.flax_to_diffusers(jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float32), src["unet"]))
+    keys = sorted(sd)
+    half = len(keys) // 2
+    shards = {"diffusion_pytorch_model-00001-of-00002.safetensors": keys[:half],
+              "diffusion_pytorch_model-00002-of-00002.safetensors": keys[half:]}
+    weight_map = {}
+    for fname, ks in shards.items():
+        convert.save_safetensors(str(unet_dir / fname), {k: sd[k] for k in ks})
+        weight_map.update({k: fname for k in ks})
+    with open(unet_dir / "diffusion_pytorch_model.safetensors.index.json",
+              "w") as f:
+        json.dump({"weight_map": weight_map}, f)
+
+    vae_dir = tmp_path / "vae"
+    vae_dir.mkdir()
+    convert.save_safetensors(
+        str(vae_dir / "diffusion_pytorch_model.safetensors"),
+        convert.flax_to_diffusers(jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float32), src["vae"])))
+
+    clip_dir = tmp_path / "image_encoder"
+    clip_dir.mkdir()
+    convert.save_safetensors(
+        str(clip_dir / "model.safetensors"),
+        convert.clip_flax_to_transformers(
+            jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32),
+                                   src["clip"]),
+            patch_size=TINY_CLIP.patch_size))
+
+    template = init_pipeline_params(models, jax.random.PRNGKey(7))
+    loaded = convert.load_diffusers_checkpoint(
+        str(tmp_path), template, clip_patch_size=TINY_CLIP.patch_size)
+    for name in ("unet", "vae", "clip"):
+        a, b = convert.flatten(src[name]), convert.flatten(loaded[name])
+        assert set(a) == set(b), name
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       atol=0, rtol=0, err_msg=f"{name}/{k}")
+
+    # dtype policy: bf16 template leaves -> bf16 loaded leaves (host cast)
+    bf16_template = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), template["unet"])
+    loaded16 = convert.load_diffusers_checkpoint(
+        str(tmp_path), {**template, "unet": bf16_template},
+        clip_patch_size=TINY_CLIP.patch_size, components=("unet",))
+    leaf = next(iter(convert.flatten(loaded16["unet"]).values()))
+    assert leaf.dtype == jnp.bfloat16
+
+
 def test_clip_parity_with_transformers():
     """Golden test: convert a REAL transformers torch CLIP vision model's
     random weights into our tree; outputs must match to fp32 tolerance."""

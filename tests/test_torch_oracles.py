@@ -104,13 +104,15 @@ def test_temporal_resnet_matches_torch():
 
 
 class TorchAttention(torch.nn.Module):
+    """diffusers UNet attention convention: qkv bias-free, out biased."""
+
     def __init__(self, c, heads, ctx=None):
         super().__init__()
         ctx = ctx or c
         self.heads = heads
-        self.to_q = torch.nn.Linear(c, c)
-        self.to_k = torch.nn.Linear(ctx, c)
-        self.to_v = torch.nn.Linear(ctx, c)
+        self.to_q = torch.nn.Linear(c, c, bias=False)
+        self.to_k = torch.nn.Linear(ctx, c, bias=False)
+        self.to_v = torch.nn.Linear(ctx, c, bias=False)
         self.to_out = torch.nn.Linear(c, c)
 
     def forward(self, x, context=None):
@@ -137,13 +139,55 @@ def test_attention_matches_torch_sdpa(cross):
     flat = {}
     for name in ("to_q", "to_k", "to_v", "to_out"):
         flat[f"{name}/kernel"] = sd[f"{name}.weight"].T
-        flat[f"{name}/bias"] = sd[f"{name}.bias"]
+    flat["to_out/bias"] = sd["to_out.bias"]
     params = convert.fill_template(template, flat)
     got = np.asarray(ours.apply({"params": params}, *args))
     with torch.no_grad():
         expected = tm(torch.from_numpy(x),
                       torch.from_numpy(ctx) if cross else None).numpy()
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+def test_full_unet_matches_torch():
+    """The ASSEMBLED UNet forward against an independent torch replica of
+    the reference contract (src/unet_spatio_temporal_condition.py:357-490),
+    imported through the real checkpoint path (state_dict ->
+    convert.diffusers_to_flax). Catches wiring-order bugs (skip ordering,
+    blend conventions, embedding broadcasts) that block-level oracles and
+    round-trip tests cannot. B=2 so batch-major vs hw-major flattening
+    mistakes are exposed."""
+    from torch_svd_unet import TorchUNetSpatioTemporal
+
+    from svd_xtend_tpu.core.config import TINY_UNET
+    from svd_xtend_tpu.models.unet import UNetSpatioTemporalConditionModel
+
+    cfg = TINY_UNET
+    torch.manual_seed(4)
+    tm = TorchUNetSpatioTemporal(cfg).eval()
+
+    b, f, h, w = 2, 3, 8, 8
+    rs = np.random.RandomState(6)
+    sample = rs.randn(b, f, h, w, cfg.in_channels).astype(np.float32)
+    timestep = np.float32(37.0)
+    ehs = rs.randn(b, 1, cfg.cross_attention_dim).astype(np.float32)
+    add_ids = np.array([[6.0, 127.0, 0.02], [7.0, 63.0, 0.1]], np.float32)
+
+    ours = UNetSpatioTemporalConditionModel(cfg, dtype=jnp.float32)
+    template = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(sample), jnp.asarray(timestep),
+        jnp.asarray(ehs), jnp.asarray(add_ids))["params"]
+    params = _import_from_torch(tm, template)
+
+    got = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(sample), jnp.asarray(timestep),
+        jnp.asarray(ehs), jnp.asarray(add_ids)))
+    with torch.no_grad():
+        expected = tm(
+            torch.from_numpy(sample.transpose(0, 1, 4, 2, 3)),
+            torch.tensor(timestep), torch.from_numpy(ehs),
+            torch.from_numpy(add_ids)).numpy().transpose(0, 1, 3, 4, 2)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=5e-4, rtol=1e-3)
 
 
 def test_geglu_ff_matches_torch():
