@@ -161,6 +161,31 @@ def test_sharded_generate_matches_single_device(setup):
                                atol=2e-3, rtol=2e-3)
 
 
+def test_sharded_generate_dp_frames_matches_single_device(setup):
+    """Inference over a (data=2, model=1, frames=2) mesh — the single-video
+    latency lever (frames-axis sequence parallelism) composed with data
+    parallelism — must equal the single-device result."""
+    from svd_xtend_tpu.core.config import MeshConfig, PipelineConfig
+    from svd_xtend_tpu.core.mesh import create_mesh
+    from svd_xtend_tpu.diffusion.pipeline import generate
+    from svd_xtend_tpu.parallel.sharding import make_sharded_generate
+
+    models, params = setup
+    cfg = PipelineConfig(height=32, width=32, num_frames=4,
+                         num_inference_steps=2, decode_chunk_size=2)
+    images = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 3)) * 2 - 1
+    rng = jax.random.PRNGKey(4)
+
+    single = generate(models, params, images, rng, cfg)
+
+    mesh = create_mesh(MeshConfig(data=2, model=1, frames=2),
+                       jax.devices()[:4])
+    gen, place_params, place_images = make_sharded_generate(models, mesh)
+    multi = gen(place_params(params), place_images(images), rng, cfg)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
+                               atol=2e-3, rtol=2e-3)
+
+
 def test_pallas_kernels_partition_over_batch(monkeypatch):
     """The Pallas kernels (conv3x3 plain+fused, GroupNorm, flash attention)
     carry SPMD rules (ops/pallas/partition.py): batch-dim sharded inputs

@@ -190,6 +190,79 @@ def test_full_unet_matches_torch():
     np.testing.assert_allclose(got, expected, atol=5e-4, rtol=1e-3)
 
 
+def test_pipeline_denoise_step_matches_torch():
+    """One full CFG denoise step — scale-model-input, 8-channel concat,
+    stacked-CFG UNet, frame-linear guidance, EDM denoise + Euler step —
+    against an independent torch transcription of the reference pipeline
+    semantics (EulerDiscrete v-prediction as EDM scalings with
+    sigma_data=1; guidance linspace per frame). Uses the torch UNet oracle
+    so the ENTIRE step is torch-side."""
+    from torch_svd_unet import TorchUNetSpatioTemporal
+
+    from svd_xtend_tpu.core.config import TINY_UNET
+    from svd_xtend_tpu.diffusion.scheduler import EulerDiscreteScheduler
+    from svd_xtend_tpu.models.unet import UNetSpatioTemporalConditionModel
+
+    cfg = TINY_UNET
+    torch.manual_seed(5)
+    tm = TorchUNetSpatioTemporal(cfg).eval()
+    ours = UNetSpatioTemporalConditionModel(cfg, dtype=jnp.float32)
+
+    b, f, h, w = 1, 3, 8, 8
+    latc = cfg.in_channels // 2
+    rs = np.random.RandomState(8)
+    latents = rs.randn(b, f, h, w, latc).astype(np.float32) * 3.0
+    cond_lat = rs.randn(b, f, h, w, latc).astype(np.float32)
+    embeds = rs.randn(b, 1, cfg.cross_attention_dim).astype(np.float32)
+    add_ids = np.array([[6.0, 127.0, 0.02]], np.float32)
+    sigma, sigma_next = np.float32(5.0), np.float32(3.0)
+    gmin, gmax = 1.0, 3.0
+
+    template = ours.init(
+        jax.random.PRNGKey(0), jnp.zeros((2 * b, f, h, w, cfg.in_channels)),
+        jnp.zeros(()), jnp.zeros((2 * b, 1, cfg.cross_attention_dim)),
+        jnp.zeros((2 * b, 3)))["params"]
+    params = _import_from_torch(tm, template)
+
+    # ---- our step (the exact-path body of diffusion/pipeline._generate) ----
+    sch = EulerDiscreteScheduler()
+    lat = jnp.asarray(latents)
+    ehs2 = jnp.concatenate([jnp.zeros_like(embeds), jnp.asarray(embeds)], 0)
+    cond2 = jnp.concatenate([jnp.zeros_like(cond_lat),
+                             jnp.asarray(cond_lat)], 0)
+    ids2 = jnp.concatenate([jnp.asarray(add_ids)] * 2, 0)
+    x2 = sch.scale_model_input(jnp.concatenate([lat, lat], 0),
+                               jnp.float32(sigma))
+    x_in = jnp.concatenate([x2, cond2], axis=-1)
+    t2 = jnp.broadcast_to(sch.timestep(jnp.float32(sigma)), (2 * b,))
+    out = ours.apply({"params": params}, x_in, t2, ehs2, ids2)
+    uncond, cond = jnp.split(out, 2, axis=0)
+    guidance = jnp.linspace(gmin, gmax, f).reshape(1, f, 1, 1, 1)
+    mo = uncond + guidance * (cond - uncond)
+    got = np.asarray(sch.step(lat, sch.denoised(mo, lat, jnp.float32(sigma)),
+                              jnp.float32(sigma), jnp.float32(sigma_next)))
+
+    # ---- independent torch step ----
+    with torch.no_grad():
+        tl = torch.from_numpy(latents.transpose(0, 1, 4, 2, 3))
+        tc = torch.from_numpy(cond_lat.transpose(0, 1, 4, 2, 3))
+        s = torch.tensor(float(sigma))
+        x2t = torch.cat([tl, tl], 0) / torch.sqrt(s * s + 1.0)
+        x_int = torch.cat([x2t, torch.cat([torch.zeros_like(tc), tc], 0)], 2)
+        ehs2t = torch.cat([torch.zeros(b, 1, cfg.cross_attention_dim),
+                           torch.from_numpy(embeds)], 0)
+        ids2t = torch.from_numpy(np.concatenate([add_ids, add_ids], 0))
+        outt = tm(x_int, 0.25 * torch.log(s), ehs2t, ids2t)
+        unc, cnd = outt.chunk(2, dim=0)
+        g = torch.linspace(gmin, gmax, f).reshape(1, f, 1, 1, 1)
+        mot = unc + g * (cnd - unc)
+        denoised = mot * (-s / torch.sqrt(s * s + 1.0)) + tl / (s * s + 1.0)
+        nxt = tl + (float(sigma_next) - float(sigma)) * (tl - denoised) / s
+        expected = nxt.numpy().transpose(0, 1, 3, 4, 2)
+
+    np.testing.assert_allclose(got, expected, atol=5e-3, rtol=1e-3)
+
+
 def test_geglu_ff_matches_torch():
     torch.manual_seed(3)
 
