@@ -71,6 +71,17 @@ def collect_shapes(height: int, width: int, frames: int, batch: int,
                               vae_cfg.latent_channels), dtype))
     enc = Encoder(vae_cfg, dtype=dtype)
     jax.eval_shape(enc.init, rng, jnp.zeros((frames, height, width, 3), dtype))
+    # registry entries are (shape, co, dtype, epi); the plain tuner measures
+    # the bare conv, so dedupe epi variants of the same conv
+    return sorted({(s, co, dt) for (s, co, dt, _) in
+                   autotune.recorded_shapes()})
+
+
+def collect_shapes_epi(height: int, width: int, frames: int, batch: int,
+                       dtype) -> list:
+    """Like collect_shapes but keeps the epilogue tag: (shape, co, dtype,
+    epi) — the fused-chain tuner's working set."""
+    collect_shapes(height, width, frames, batch, dtype)
     return autotune.recorded_shapes()
 
 

@@ -59,12 +59,16 @@ class GroupNormSiLU(nn.Module):
 
 
 def pallas_conv_dispatch(x_shape, features: int, dtype,
-                         with_res: bool = False, fused: bool = False):
+                         with_res: bool = False, fused: bool = False,
+                         epi: Optional[str] = None):
     """Decide whether Conv3x3 takes the Pallas implicit-GEMM path for this
     shape: returns {"band": b, "bco": c} (zeros = auto-pick) or None (XLA).
 
-    Order: the autotune table (measured winner for this exact shape,
-    ops/pallas/autotune.py) first, then the measured heuristic
+    Order: the FUSED-chain table first when `epi` names an epilogue combo
+    (scripts/tune_conv_fused.py measures the whole replaced subgraph —
+    GN-fold + conv + shift/residual — so its verdicts already price the
+    pallas_call fusion boundary), then the plain autotune table (measured
+    winner for the bare conv), then the measured heuristic
     (conv3x3_pallas_wins). Every query is recorded in the autotune shape
     registry so tracing a model yields its conv working set.
     SVDX_PALLAS_CONV: "0" disables, "force" enables off-TPU (interpret mode,
@@ -75,7 +79,10 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
 
     from ..ops.pallas import autotune
     dtype = jnp.dtype(dtype)
-    autotune.record_shape(x_shape, features, dtype.name)
+    if epi is None:
+        epi = ("preS" + ("+res" if with_res else "")) if fused else ""
+    with_res = with_res or "res" in epi
+    autotune.record_shape(x_shape, features, dtype.name, epi)
     mode = os.environ.get("SVDX_PALLAS_CONV", "table")
     if mode == "0" or x_shape[2] % 8 != 0:
         return None
@@ -84,6 +91,19 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
     from ..ops.pallas.conv3x3 import (_VMEM_BUDGET, _vmem_bytes,
                                       conv3x3_pallas_fits,
                                       conv3x3_pallas_wins)
+    if epi:
+        fent = autotune.lookup_fused(x_shape, features, dtype.name, epi)
+        if fent is not None:
+            if fent.get("impl") != "pallas":
+                return None      # measured: XLA wins the whole fused chain
+            fmargin = float(os.environ.get("SVDX_PALLAS_CONV_FUSED_MARGIN",
+                                           "1.2"))
+            if fent.get("speedup", 0.0) < fmargin:
+                return None
+            if not conv3x3_pallas_fits(x_shape, features, dtype.itemsize,
+                                       with_res):
+                return None
+            return {"band": fent.get("band", 0), "bco": fent.get("bco", 0)}
     ent = autotune.lookup(x_shape, features, dtype.name)
     if ent is not None:
         if ent.get("impl") != "pallas":
@@ -175,11 +195,17 @@ class Conv3x3(nn.Module):
                 x = xv.astype(x.dtype)
             return quant.int8_conv3x3(x, kernel, bias, post_shift=post_shift,
                                       residual=residual)
+        epi = ""
+        if pre is not None:
+            epi = "preS" if pre[2] else "pre"
+        if post_shift is not None:
+            epi += "+post"
+        if residual is not None:
+            epi += "+res"
         disp = pallas_conv_dispatch(
             x.shape, self.features, x.dtype,
             with_res=residual is not None,
-            fused=(pre is not None or post_shift is not None
-                   or residual is not None))
+            fused=bool(epi), epi=epi)
         if disp is not None:
             from ..ops.pallas.conv3x3 import conv3x3_pallas
             kw = {}
@@ -317,8 +343,9 @@ class ResnetBlock2D(nn.Module):
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
-        if pallas_conv_dispatch(x.shape, self.out_channels, self.dtype,
-                                fused=True) is not None:
+        if pallas_conv_dispatch(
+                x.shape, self.out_channels, self.dtype, fused=True,
+                epi="preS+post" if t is not None else "preS") is not None:
             sc, sh = gns("norm1")(x, fold_only=True)
             h = conv("conv1")(x, pre=(sc, sh, True),
                               post_shift=t.astype(jnp.float32)
@@ -337,7 +364,8 @@ class ResnetBlock2D(nn.Module):
         if (not dropout_active
                 and pallas_conv_dispatch(h.shape, self.out_channels,
                                          self.dtype, with_res=True,
-                                         fused=True) is not None):
+                                         fused=True,
+                                         epi="preS+res") is not None):
             sc2, sh2 = gns("norm2")(h, fold_only=True)
             return conv("conv2")(h, pre=(sc2, sh2, True), residual=skip)
         h = gns("norm2")(h)

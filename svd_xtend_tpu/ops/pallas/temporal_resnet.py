@@ -57,13 +57,13 @@ def _interpret() -> bool:
 
 
 def enabled() -> bool:
-    # Default OFF until hardware-validated: the axon relay wedged during this
-    # kernel's first on-chip compile attempt (session-8) before its compile
-    # time could be measured, and a pathological Mosaic compile inside
-    # bench.py would cost the whole benchmark run. The XLA fallback is the
-    # same math at the pre-kernel cost. Flip to "1" after
-    # scripts/microbench_tresnet.py validates compile+speedup on the chip.
-    return os.environ.get("SVDX_PALLAS_TRESNET", "0") in ("1", "force")
+    # Default ON since r2: hardware-validated on the v5e relay
+    # (scripts/microbench_tresnet.py 2026-08-18/19 — compiles in 3-5 s/shape,
+    # wins 1.09-1.78x at the UNet shapes and 7.65x at the VAE-decode top
+    # level; the one losing shape class is routed to XLA by `supports`) and
+    # whole-pipeline A/B-confirmed (PERF.md session-9). SVDX_PALLAS_TRESNET=0
+    # is the kill switch; "force" additionally engages it off-TPU.
+    return os.environ.get("SVDX_PALLAS_TRESNET", "1") in ("1", "force")
 
 
 def _choose_sb(f: int, s: int, c: int) -> int:

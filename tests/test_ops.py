@@ -366,7 +366,48 @@ def test_conv3x3_autotune_table(tmp_path, monkeypatch):
     assert autotune.lookup(lose_shape, lose_co, "bfloat16") is not None
     autotune.reset_recorded()
     pallas_conv_dispatch((1, 8, 8, 32), 16, jnp.float32)
-    assert ((1, 8, 8, 32), 16, "float32") in autotune.recorded_shapes()
+    assert ((1, 8, 8, 32), 16, "float32", "") in autotune.recorded_shapes()
+
+
+def test_conv3x3_fused_table_dispatch(tmp_path, monkeypatch):
+    """Fused-chain table precedence (models/blocks.py): an epi-keyed entry
+    overrides both the plain table and the heuristic — pallas only at or
+    above the fused margin, xla verdicts veto outright."""
+    import jax.numpy as jnp
+    from svd_xtend_tpu.models import blocks
+    from svd_xtend_tpu.ops.pallas import autotune
+
+    fpath = str(tmp_path / "fused.json")
+    monkeypatch.setenv("SVDX_FUSED_TABLE", fpath)
+    monkeypatch.setenv("SVDX_AUTOTUNE_TABLE", "0")
+    monkeypatch.setenv("SVDX_PALLAS_CONV", "force")
+
+    shape, co = (28, 36, 64, 640), 640   # heuristic: pallas
+    # no fused entry -> falls through to the heuristic
+    assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16,
+                                       epi="preS+res") is not None
+    autotune.save_fused_table({
+        autotune._fused_key(shape, co, "bfloat16", "preS+res"):
+            autotune.make_entry("xla"),
+        autotune._fused_key(shape, co, "bfloat16", "preS+post"):
+            autotune.make_entry("pallas", band=4, bco=128, speedup=1.5),
+        autotune._fused_key(shape, co, "bfloat16", "preS"):
+            autotune.make_entry("pallas", band=4, bco=128, speedup=1.05),
+    }, fpath)
+    # measured-xla fused chain refuses the kernel even though the heuristic
+    # would take it
+    assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16,
+                                       epi="preS+res") is None
+    # measured-pallas above the margin engages with the tuned tiling
+    assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16,
+                                       epi="preS+post") == \
+        {"band": 4, "bco": 128}
+    # below the fused margin (default 1.2): no
+    assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16,
+                                       epi="preS") is None
+    monkeypatch.setenv("SVDX_PALLAS_CONV_FUSED_MARGIN", "1.0")
+    assert blocks.pallas_conv_dispatch(shape, co, jnp.bfloat16,
+                                       epi="preS") is not None
 
 
 def test_conv3x3_pallas_bwd_dx_dispatch(monkeypatch):
