@@ -126,16 +126,27 @@ def main():
             continue
         key, sub = jax.random.split(key)
         x, k, b, kw = make_args(sub, x_shape, co, dtype, epi)
+        # epilogue operands must be jit ARGUMENTS, not closure constants —
+        # closed-over arrays are baked into the HLO and a (8,320,512,C)
+        # residual blows the relay's compile-request size cap (HTTP 413)
+        knames = sorted(kn for kn in kw if kn != "pre_silu")
+        kvals = [kw[kn] for kn in knames]
+        silu = bool(kw.get("pre_silu", False))
 
-        t_xla = timed_burst(
-            lambda x, k, b: conv3x3_fused_reference(x, k, b, **kw), x, k, b)
+        def xla_arm(x, k, b, *ops):
+            d = dict(zip(knames, ops))
+            return conv3x3_fused_reference(x, k, b, pre_silu=silu, **d)
+
+        t_xla = timed_burst(xla_arm, x, k, b, *kvals)
         best = (float("inf"), 0, 0)
         for band, bco in tile_candidates(h, w, ci, co, dtype.itemsize,
                                          quick=False):
+            def pallas_arm(x, k, b, *ops, _band=band, _bco=bco):
+                d = dict(zip(knames, ops))
+                return conv3x3_pallas(x, k, b, band=_band, bco=_bco,
+                                      pre_silu=silu, **d)
             try:
-                t_p = timed_burst(
-                    lambda x, k, b: conv3x3_pallas(x, k, b, band=band,
-                                                   bco=bco, **kw), x, k, b)
+                t_p = timed_burst(pallas_arm, x, k, b, *kvals)
             except Exception as e:
                 print(f"  ({band},{bco}) failed: {type(e).__name__}",
                       flush=True)
@@ -161,6 +172,9 @@ def main():
               f"{'' if ok else '  NUMERICS-DEMOTED'}", flush=True)
         ent = autotune.make_entry(impl, band, bco, speed)
         entries[autotune._fused_key(x_shape, co, dtype_str, epi)] = ent
+        # incremental save: a relay hiccup mid-sweep keeps what's measured
+        autotune.save_fused_table(
+            entries, args.out, device_kind=jax.devices()[0].device_kind)
 
     path = autotune.save_fused_table(
         entries, args.out, device_kind=jax.devices()[0].device_kind)

@@ -226,11 +226,9 @@ class Conv3x3(nn.Module):
                 and post_shift is None and residual is None):
             return conv3x3_tiled(x, kernel, bias)
         else:
-            dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
-                                                ("NHWC", "HWIO", "NHWC"))
-            y = jax.lax.conv_general_dilated(
-                x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
-                preferred_element_type=jnp.float32).astype(x.dtype)
+            from ..ops.convacc import conv_f32acc
+            y = conv_f32acc(x, kernel, (1, 1),
+                            ((1, 1), (1, 1))).astype(x.dtype)
             y = y + bias
         if post_shift is not None:
             y = y + post_shift[:, None, None, :].astype(y.dtype)
@@ -526,12 +524,9 @@ class _FusedUpConv(nn.Module):
                                                   dtype=self.dtype)
         if fused_enabled():
             return upsample2x_conv3x3(x, kernel, bias)
+        from ..ops.convacc import conv_f32acc
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
-            x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
-            preferred_element_type=jnp.float32).astype(x.dtype)
+        y = conv_f32acc(x, kernel, (1, 1), ((1, 1), (1, 1))).astype(x.dtype)
         return y + bias
 
 

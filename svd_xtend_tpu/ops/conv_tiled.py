@@ -62,12 +62,9 @@ def conv3x3_tiled(x: Array, kernel: Array, bias: Optional[Array] = None,
     tiles = [r[:, :, j * tw:j * tw + tw + 2] for r in rows for j in range(nw)]
     t = jnp.stack(tiles, axis=1).reshape(n * nh * nw, th + 2, tw + 2, ci)
 
-    dn = lax.conv_dimension_numbers(t.shape, kernel.shape,
-                                    ("NHWC", "HWIO", "NHWC"))
-    y = lax.conv_general_dilated(
-        t, kernel.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
-        dimension_numbers=dn,
-        preferred_element_type=jnp.float32).astype(x.dtype)
+    from .convacc import conv_f32acc
+    y = conv_f32acc(t, kernel.astype(x.dtype), (1, 1),
+                    ((0, 0), (0, 0))).astype(x.dtype)
 
     y = y.reshape(n, nh, nw, th, tw, co).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(n, h, w, co)

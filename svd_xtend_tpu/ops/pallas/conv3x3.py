@@ -226,11 +226,9 @@ def conv3x3_fused_reference(x, kernel, bias, pre_scale=None, pre_shift=None,
         if pre_silu:
             xv = xv * jax.nn.sigmoid(xv)
         x = xv.astype(x.dtype)
-    dn = lax.conv_dimension_numbers(x.shape, kernel.shape,
-                                    ("NHWC", "HWIO", "NHWC"))
-    y = lax.conv_general_dilated(
-        x, kernel, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
-        preferred_element_type=jnp.float32) + bias.astype(jnp.float32)
+    from ..convacc import conv_f32acc
+    y = conv_f32acc(x, kernel, (1, 1),
+                    ((1, 1), (1, 1))) + bias.astype(jnp.float32)
     if post_shift is not None:
         y = y + post_shift[:, None, None, :]
     if residual is not None:

@@ -46,13 +46,10 @@ def _conv2x2(x: Array, k: Array, pad_lo: tuple) -> Array:
 
     pad_lo = (1, 1) pads top+left (parity 0: taps {i-1, i}); (0, 0) pads
     bottom+right (parity 1: taps {i, i+1})."""
+    from .convacc import conv_f32acc
     pr, pc = pad_lo
-    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
-    return lax.conv_general_dilated(
-        x, k, window_strides=(1, 1),
-        padding=((pr, 1 - pr), (pc, 1 - pc)),
-        dimension_numbers=dn,
-        preferred_element_type=jnp.float32).astype(x.dtype)
+    return conv_f32acc(x, k, (1, 1),
+                       ((pr, 1 - pr), (pc, 1 - pc))).astype(x.dtype)
 
 
 def upsample2x_conv3x3(x: Array, kernel: Array, bias: Array) -> Array:

@@ -369,6 +369,87 @@ def test_conv3x3_autotune_table(tmp_path, monkeypatch):
     assert ((1, 8, 8, 32), 16, "float32", "") in autotune.recorded_shapes()
 
 
+def test_conv_f32acc_bf16_differentiable():
+    """Regression: lax conv with preferred_element_type=f32 over bf16
+    operands is untransposable in current JAX (f32 cotangent hits the
+    same-dtype check in the transpose-rule convs) — it silently broke every
+    bf16 training graph through the XLA conv fallbacks. conv_f32acc must
+    (a) match the f32-accumulate forward, (b) differentiate in bf16, with
+    grads equal to the plain-conv convention."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from svd_xtend_tpu.ops.convacc import conv_f32acc
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(ks[0], (2, 8, 8, 16), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (3, 3, 16, 8), jnp.bfloat16) * 0.2
+    dy = jax.random.normal(ks[2], (2, 8, 8, 8), jnp.float32)
+
+    def ref_fwd(x, k):
+        dn = lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(x, k, (1, 1), ((1, 1), (1, 1)),
+                                        dimension_numbers=dn,
+                                        preferred_element_type=jnp.float32)
+
+    y = conv_f32acc(x, k, (1, 1), ((1, 1), (1, 1)))
+    assert y.dtype == jnp.float32
+    assert jnp.allclose(y, ref_fwd(x, k))
+
+    # bf16 grads exist and follow the plain-conv (AMP) convention
+    loss = lambda x, k: jnp.sum(conv_f32acc(x, k, (1, 1), ((1, 1), (1, 1)))
+                                * dy)
+    dx, dk = jax.grad(loss, argnums=(0, 1))(x, k)
+    assert dx.dtype == jnp.bfloat16 and dk.dtype == jnp.bfloat16
+
+    def plain(x, k):
+        dn = lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        return lax.conv_general_dilated(x, k, (1, 1), ((1, 1), (1, 1)),
+                                        dimension_numbers=dn)
+    _, vjp = jax.vjp(plain, x, k)
+    rdx, rdk = vjp(dy.astype(jnp.bfloat16))
+    assert jnp.array_equal(dx, rdx) and jnp.array_equal(dk, rdk)
+
+
+def test_bf16_train_step_traces():
+    """Regression: the full bf16 train step (models + mixed_precision bf16,
+    remat on) must trace/lower — it could not before conv_f32acc (see
+    test_conv_f32acc_bf16_differentiable)."""
+    import jax
+    import jax.numpy as jnp
+    from svd_xtend_tpu.core.config import (TINY_CLIP, TINY_UNET, TINY_VAE,
+                                           TrainConfig)
+    from svd_xtend_tpu.diffusion.pipeline import (SVDModels,
+                                                  init_pipeline_params)
+    from svd_xtend_tpu.train.optim import make_optimizer
+    from svd_xtend_tpu.train.state import create_train_state, make_train_step
+
+    models = SVDModels(unet_config=TINY_UNET, vae_config=TINY_VAE,
+                       clip_config=TINY_CLIP, dtype=jnp.bfloat16,
+                       param_dtype=jnp.bfloat16)
+    params = jax.eval_shape(lambda k: init_pipeline_params(models, k),
+                            jax.random.PRNGKey(0))
+    cfg = TrainConfig(train_mode="temporal", learning_rate=1e-4,
+                      lr_scheduler="constant", num_frames=2, height=32,
+                      width=32, remat_policy="block", mixed_precision="bf16")
+    opt = make_optimizer(cfg)
+    state = jax.eval_shape(
+        lambda p: create_train_state(cfg, p, opt,
+                                     lora_rng=jax.random.PRNGKey(1)),
+        params["unet"])
+    frozen = {"vae": params["vae"], "clip": params["clip"]}
+
+    def wrapped(state, batch, rng, frozen):
+        return make_train_step(models, cfg, opt, frozen)(state, batch, rng)
+
+    batch = jax.ShapeDtypeStruct((1, 2, 32, 32, 3), jnp.float32)
+    lowered = jax.jit(wrapped).lower(state, batch, jax.random.PRNGKey(3),
+                                     frozen)
+    assert lowered is not None
+
+
 def test_conv3x3_fused_table_dispatch(tmp_path, monkeypatch):
     """Fused-chain table precedence (models/blocks.py): an epi-keyed entry
     overrides both the plain table and the heuristic — pallas only at or
