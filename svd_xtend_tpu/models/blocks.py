@@ -96,8 +96,13 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
         if fent is not None:
             if fent.get("impl") != "pallas":
                 return None      # measured: XLA wins the whole fused chain
+            # default above every current entry: the 2 winners that cleared
+            # 1.2 (1.25-1.27x whole-subgraph) still LOST 1.9% end-to-end
+            # (PERF.md session-10 A/B 5.028 -> 5.123 s/video) — the GN stats
+            # reduce and the next op's producer fusion sit outside even the
+            # subgraph measurement. Lower only after your own pipeline A/B.
             fmargin = float(os.environ.get("SVDX_PALLAS_CONV_FUSED_MARGIN",
-                                           "1.2"))
+                                           "1.35"))
             if fent.get("speedup", 0.0) < fmargin:
                 return None
             if not conv3x3_pallas_fits(x_shape, features, dtype.itemsize,
