@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--category", default=None,
                     help="restrict the top-op listing to one category "
                          "(e.g. 'layout/copy')")
+    ap.add_argument("--all_categories", action="store_true",
+                    help="print the top 15 ops of every category")
+    ap.add_argument("--dump_hlo", default=None,
+                    help="write the compiled HLO text to this path")
     args = ap.parse_args()
 
     from svd_xtend_tpu.diffusion.pipeline import SVDModels, init_pipeline_params
@@ -80,9 +84,13 @@ def main():
     pull(compiled(params["unet"], x))     # warm
 
     # hlo-name -> op_name metadata (module path) map for attribution
+    hlo_text = compiled.as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as fh:
+            fh.write(hlo_text)
     op_of = {}
     for m in re.finditer(r"%([\w.\-]+) = [^\n]*?op_name=\"([^\"]+)\"",
-                         compiled.as_text()):
+                         hlo_text):
         op_of[m.group(1)] = m.group(2)
 
     jax.profiler.start_trace(args.out)
@@ -143,6 +151,16 @@ def main():
     for name, ms in ranked[:args.top]:
         op = op_of.get(name, "")
         print(f"  {ms / 3:8.3f} ms/step  {name[:40]:40s} {op[-70:]}")
+
+    if args.all_categories:
+        for cat in sorted(cats, key=lambda c: -cats[c]):
+            print(f"\n--- top ops in {cat} ({cats[cat] / 3:.2f} ms/step):")
+            sub = [(n, ms) for n, ms in sorted(per_op.items(),
+                                               key=lambda kv: -kv[1])
+                   if categorize(n, op_of.get(n, "")) == cat]
+            for name, ms in sub[:15]:
+                op = op_of.get(name, "")
+                print(f"  {ms / 3:8.3f} ms/step  {name[:44]:44s} {op[-76:]}")
 
 
 if __name__ == "__main__":

@@ -40,9 +40,11 @@ class GroupNormSiLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, fold_only: bool = False,
-                 params_only: bool = False):
-        from ..ops.pallas.groupnorm import group_norm_fold, group_norm_silu
-        c = x.shape[-1]
+                 params_only: bool = False, x2: Optional[Array] = None):
+        from ..ops.pallas.groupnorm import (group_norm_fold,
+                                            group_norm_fold_cat,
+                                            group_norm_silu)
+        c = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
         if params_only:
@@ -51,9 +53,16 @@ class GroupNormSiLU(nn.Module):
             return scale, bias
         if fold_only:
             # stats-only form: per-(sample, channel) f32 (sc, sh) for a
-            # consumer that fuses the normalize (+SiLU) into its input read
+            # consumer that fuses the normalize (+SiLU) into its input read.
+            # x2: stats over the virtual concat([x, x2], -1) without
+            # materializing it (the split-concat resnet path).
+            if x2 is not None:
+                return group_norm_fold_cat([x, x2], scale, bias,
+                                           groups=self.groups, eps=self.eps)
             return group_norm_fold(x, scale, bias, groups=self.groups,
                                    eps=self.eps)
+        if x2 is not None:
+            x = jnp.concatenate([x, x2], axis=-1)
         return group_norm_silu(x, scale, bias, groups=self.groups,
                                eps=self.eps, impl=self.impl, silu=self.silu)
 
@@ -144,6 +153,45 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
     return None
 
 
+def split_cat_conv_enabled() -> bool:
+    """Whether concat-input convs/shortcuts run in the split form (see
+    Conv3x3.x2). Default ON — exact math up to f32 reassociation, measured
+    1.22-1.48x at every up-block conv1 site (microbench_concat_conv.py)."""
+    import os
+    return os.environ.get("SVDX_SPLIT_CAT_CONV", "1") != "0"
+
+
+def _apply_pre_affine(v: Array, sc: Array, sh: Array, do_silu: bool) -> Array:
+    """Per-(N, C) f32 affine (+SiLU) — a folded GroupNorm normalize."""
+    vv = (v.astype(jnp.float32) * sc[:, None, None, :].astype(jnp.float32)
+          + sh[:, None, None, :].astype(jnp.float32))
+    if do_silu:
+        vv = vv * jax.nn.sigmoid(vv)
+    return vv.astype(v.dtype)
+
+
+def _conv3x3_split_cat(x: Array, x2: Array, kernel: Array, bias: Array,
+                       pre=None, post_shift: Optional[Array] = None,
+                       residual: Optional[Array] = None) -> Array:
+    """conv3x3(concat([x, x2]), kernel) as two channel-sliced convs summed in
+    one f32 accumulator; bias/t-emb/residual ride the same accumulator."""
+    from ..ops.convacc import conv_f32acc
+    ca = x.shape[-1]
+    if pre is not None:
+        sc, sh, do_silu = pre
+        x = _apply_pre_affine(x, sc[:, :ca], sh[:, :ca], do_silu)
+        x2 = _apply_pre_affine(x2, sc[:, ca:], sh[:, ca:], do_silu)
+    y = (conv_f32acc(x, kernel[:, :, :ca], (1, 1), ((1, 1), (1, 1)))
+         + conv_f32acc(x2, kernel[:, :, ca:], (1, 1), ((1, 1), (1, 1)))
+         + bias.astype(jnp.float32))
+    if post_shift is not None:
+        y = y + post_shift[:, None, None, :].astype(jnp.float32)
+    y = y.astype(x.dtype)
+    if residual is not None:
+        y = y + residual
+    return y
+
+
 class Conv3x3(nn.Module):
     """3x3 stride-1 SAME conv with implementation dispatch and optional
     fused epilogues. Param names (kernel/bias) match the nn.Conv it
@@ -165,7 +213,18 @@ class Conv3x3(nn.Module):
         GroupNorm-normalize — fused into the kernel's input read on the
         Pallas path, applied as plain XLA ops otherwise;
       post_shift: (N, Co) added to the output (time-embedding add);
-      residual: (N, H, W, Co) added to the output (skip connection)."""
+      residual: (N, H, W, Co) added to the output (skip connection).
+
+    `x2` (the split-concat form): the logical input is concat([x, x2], -1)
+    — the param tree is the single (3, 3, C1+C2, Co) kernel of the concat
+    conv — but on TPU the conv is computed as conv(x, k[:, :, :C1]) +
+    conv(x2, k[:, :, C1:]) in one f32 accumulator, and the concat never
+    materializes. Measured (scripts/microbench_concat_conv.py, v5e): the
+    concat-input conv runs at ~97-111 TF/s vs 121-165 TF/s for the split
+    pair — 1.22-1.48x at every up-block conv1 site at operating point A.
+    `pre` spans the full C1+C2 width and is sliced per part. Exact in f32
+    up to reassociation (the split reorders the K loop).
+    Kill switch: SVDX_SPLIT_CAT_CONV=0 (falls back to materialized concat)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
@@ -173,13 +232,26 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, pre=None, post_shift: Optional[Array] = None,
-                 residual: Optional[Array] = None) -> Array:
+                 residual: Optional[Array] = None,
+                 x2: Optional[Array] = None) -> Array:
         from ..ops.conv_tiled import _TILE_H, _TILE_W, conv3x3_tiled, should_tile
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, in_ch, self.features), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           self.param_dtype)
+        if x2 is not None:
+            x, x2, kernel, bias = nn.dtypes.promote_dtype(
+                x, x2, kernel, bias, dtype=self.dtype)
+            from ..ops import quant
+            int8_site = (quant.get_mode() == "int8" and quant.int8_conv_wins(
+                x.shape[:-1] + (in_ch,), self.features))
+            if split_cat_conv_enabled() and not int8_site:
+                return _conv3x3_split_cat(x, x2, kernel, bias, pre=pre,
+                                          post_shift=post_shift,
+                                          residual=residual)
+            # int8 winners keep their measured concat form; kill-switch path
+            x = jnp.concatenate([x, x2], axis=-1)
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
         h, w = x.shape[1], x.shape[2]
@@ -240,6 +312,36 @@ class Conv3x3(nn.Module):
         if residual is not None:
             y = y + residual
         return y
+
+
+class _Conv1x1Cat(nn.Module):
+    """1x1 conv over the virtual concat([x, x2], -1) — two channel-sliced
+    matmuls in one f32 accumulator. Param tree (kernel (1, 1, C1+C2, Co),
+    bias) is identical to the nn.Conv it replaces (the up-block resnet
+    conv_shortcut), so checkpoints are unaffected."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, x2: Array) -> Array:
+        in_ch = x.shape[-1] + x2.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, in_ch, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        x, x2, kernel, bias = nn.dtypes.promote_dtype(x, x2, kernel, bias,
+                                                      dtype=self.dtype)
+        ca = x.shape[-1]
+        k = kernel[0, 0]
+        y = (jax.lax.dot_general(x, k[:ca], (((x.ndim - 1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(x2, k[ca:],
+                                   (((x2.ndim - 1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+             + bias.astype(jnp.float32))
+        return y.astype(x.dtype)
 
 
 class AlphaBlender(nn.Module):
@@ -335,8 +437,17 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None,
-                 deterministic: bool = True) -> Array:
-        in_ch = x.shape[-1]
+                 deterministic: bool = True,
+                 skip_cat: Optional[Array] = None) -> Array:
+        # skip_cat: the up-block skip tensor; the block's logical input is
+        # concat([x, skip_cat], -1) but on TPU the concat never materializes
+        # — GN stats, conv1, and the 1x1 shortcut all consume the two parts
+        # directly (split-concat form, see Conv3x3.x2 / _conv3x3_split_cat).
+        if skip_cat is not None and not split_cat_conv_enabled():
+            x = jnp.concatenate([x, skip_cat], axis=-1)
+            skip_cat = None
+        in_ch = x.shape[-1] + (skip_cat.shape[-1] if skip_cat is not None
+                               else 0)
         conv = lambda name: Conv3x3(self.out_channels, dtype=self.dtype,
                                     param_dtype=self.param_dtype, name=name)
         gns = lambda name: GroupNormSiLU(groups=self.groups, eps=self.eps,
@@ -346,7 +457,12 @@ class ResnetBlock2D(nn.Module):
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="time_emb_proj")(nn.silu(temb))
-        if pallas_conv_dispatch(
+        if skip_cat is not None:
+            sc, sh = gns("norm1")(x, x2=skip_cat, fold_only=True)
+            h = conv("conv1")(x, x2=skip_cat, pre=(sc, sh, True),
+                              post_shift=t.astype(jnp.float32)
+                              if t is not None else None)
+        elif pallas_conv_dispatch(
                 x.shape, self.out_channels, self.dtype, fused=True,
                 epi="preS+post" if t is not None else "preS") is not None:
             sc, sh = gns("norm1")(x, fold_only=True)
@@ -359,8 +475,16 @@ class ResnetBlock2D(nn.Module):
             if t is not None:
                 h = h + t[:, None, None, :]
         if in_ch != self.out_channels:
-            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="conv_shortcut")(x)
+            if skip_cat is not None:
+                skip = _Conv1x1Cat(self.out_channels, dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   name="conv_shortcut")(x, skip_cat)
+            else:
+                skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="conv_shortcut")(x)
+        elif skip_cat is not None:   # unreachable in the SVD topology
+            skip = jnp.concatenate([x, skip_cat], axis=-1)
         else:
             skip = x
         dropout_active = self.dropout > 0.0 and not deterministic
@@ -471,10 +595,13 @@ class SpatioTemporalResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None,
-                 image_only_indicator: Optional[Array] = None) -> Array:
+                 image_only_indicator: Optional[Array] = None,
+                 skip_cat: Optional[Array] = None) -> Array:
         f = self.num_frames
         h = ResnetBlock2D(self.out_channels, eps=self.eps, dtype=self.dtype,
-                          param_dtype=self.param_dtype, name="spatial_res_block")(x, temb)
+                          param_dtype=self.param_dtype,
+                          name="spatial_res_block")(x, temb,
+                                                    skip_cat=skip_cat)
         bf, hh, ww, c = h.shape
         b = bf // f
         h_spatial = h.reshape(b, f, hh, ww, c)

@@ -135,11 +135,13 @@ class UpBlockSpatioTemporal(nn.Module):
     def __call__(self, x: Array, skips: Tuple[Array, ...], temb: Array,
                  indicator: Optional[Array]):
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
+            # skip enters as a separate operand: the concat is computed in
+            # split form (GN-stats/conv1/shortcut read the parts directly;
+            # see blocks.ResnetBlock2D skip_cat) and never hits HBM
             x = SpatioTemporalResBlock(
                 self.out_channels, self.num_frames, eps=self.resnet_eps,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"resnets_{i}",
-            )(x, temb, indicator)
+            )(x, temb, indicator, skip_cat=skips[-(i + 1)])
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="upsamplers_0")(x)
@@ -166,11 +168,10 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
                  tracklet_tokens: Optional[Array] = None):
         head_dim = self.out_channels // self.num_heads
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
             x = SpatioTemporalResBlock(
                 self.out_channels, self.num_frames, eps=self.resnet_eps,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"resnets_{i}",
-            )(x, temb, indicator)
+            )(x, temb, indicator, skip_cat=skips[-(i + 1)])
             x = TransformerSpatioTemporalModel(
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,

@@ -277,14 +277,63 @@ def group_norm_fold(x: Array, scale: Array, bias: Array, *, groups: int = 32,
 
     This is the stats half of GroupNorm decoupled from the normalize half so
     the normalize (+SiLU) can ride as an input epilogue of the consumer — the
-    Pallas conv3x3 (ops/pallas/conv3x3.py) — and the normalized activation
-    never exists in HBM. The stats reduce is left to XLA (reads x once at HBM
-    speed, writes only (N, G) scalars)."""
+    Pallas conv3x3 (ops/pallas/conv3x3.py) or the fused temporal resnet — and
+    the normalized activation never exists in HBM.
+
+    The moments are computed as per-CHANNEL (sum, sumsq) reduces over the
+    spatial axis in x's native (..., C) layout, then grouped on the tiny
+    (N, C) result. The earlier jnp.mean/jnp.var over a (n, -1, G, gs)
+    reshaped view made XLA materialize TWO full f32 copies of x — one of
+    them transposed into a T(2,128) gs-minor layout — costing ~0.8 ms per
+    fold site at L0 (r2 HLO/trace: reshape+copy 'convert_element_type' pairs
+    around every temporal_res_block and conv-fold). The sumsq form matches
+    _gn_silu_kernel / _fold_from_channel_sums, so all three GN stats paths
+    now share one formula."""
     n, c = x.shape[0], x.shape[-1]
     gs = c // groups
-    xf = x.astype(jnp.float32).reshape(n, -1, groups, gs)
-    mean = jnp.mean(xf, axis=(1, 3))                       # (N, G)
-    var = jnp.var(xf, axis=(1, 3))
+    x3 = x.reshape(n, -1, c)
+    xf = x3.astype(jnp.float32)
+    sum_c = jnp.sum(xf, axis=1)                            # (N, C) one pass
+    sq_c = jnp.sum(xf * xf, axis=1)                        # (sibling fusion)
+    denom = float(x3.shape[1] * gs)
+    mean = jnp.sum(sum_c.reshape(n, groups, gs), axis=2) / denom   # (N, G)
+    var = (jnp.sum(sq_c.reshape(n, groups, gs), axis=2) / denom
+           - mean * mean)
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, gs, axis=1)                  # (N, C)
+    inv_c = jnp.repeat(inv, gs, axis=1)
+    sc = inv_c * scale.astype(jnp.float32)[None, :]
+    sh = bias.astype(jnp.float32)[None, :] - mean_c * sc
+    return sc, sh
+
+
+def group_norm_fold_cat(parts, scale: Array, bias: Array, *,
+                        groups: int = 32, eps: float = 1e-5):
+    """`group_norm_fold` over the virtual concat of `parts` along the channel
+    axis, WITHOUT materializing the concat. Used by the split-concat resnet
+    path (models/blocks.py: ResnetBlock2D(skip_cat=...)): the up-block skip
+    concat never exists in HBM — each part is read once for its per-channel
+    (sum, sumsq), and the returned full-width (N, C_total) f32 (sc, sh) is
+    sliced per part by the consumer. Identical math to group_norm_fold on
+    jnp.concatenate(parts, -1) (group boundaries may straddle parts — e.g.
+    L1's 640+320 with gs=30 — which the concatenated (N, C) sums handle
+    naturally)."""
+    n = parts[0].shape[0]
+    c = sum(p.shape[-1] for p in parts)
+    gs = c // groups
+    sums, sqs, spatial = [], [], None
+    for p in parts:
+        p3 = p.reshape(n, -1, p.shape[-1])
+        spatial = p3.shape[1]
+        pf = p3.astype(jnp.float32)
+        sums.append(jnp.sum(pf, axis=1))
+        sqs.append(jnp.sum(pf * pf, axis=1))
+    sum_c = jnp.concatenate(sums, axis=-1)                 # (N, C) tiny
+    sq_c = jnp.concatenate(sqs, axis=-1)
+    denom = float(spatial * gs)
+    mean = jnp.sum(sum_c.reshape(n, groups, gs), axis=2) / denom   # (N, G)
+    var = (jnp.sum(sq_c.reshape(n, groups, gs), axis=2) / denom
+           - mean * mean)
     inv = jax.lax.rsqrt(var + eps)
     mean_c = jnp.repeat(mean, gs, axis=1)                  # (N, C)
     inv_c = jnp.repeat(inv, gs, axis=1)

@@ -72,9 +72,12 @@ def upsample2x_conv3x3(x: Array, kernel: Array, bias: Array) -> Array:
         kk[(di, 0)] = c0
         kk[(di, 1)] = c1
 
-    ys = [[_conv2x2(x, kk[(di, dj)], (1 - di, 1 - dj)) for dj in (0, 1)]
+    # bias rides each parity conv's epilogue (XLA fuses the add into the
+    # conv fusion) instead of a separate HBM pass over the 4x interleaved
+    # output (measured 0.29 ms/site at the up2 upsampler, r2 trace)
+    bb = bias.astype(x.dtype)
+    ys = [[_conv2x2(x, kk[(di, dj)], (1 - di, 1 - dj)) + bb for dj in (0, 1)]
           for di in (0, 1)]
     # interleave parities: out[n, 2i+di, 2j+dj] = ys[di][dj][n, i, j]
     y = jnp.stack([jnp.stack(row, axis=3) for row in ys], axis=2)
-    y = y.reshape(n, 2 * h, 2 * w, co)
-    return y + bias.astype(x.dtype)
+    return y.reshape(n, 2 * h, 2 * w, co)
