@@ -43,7 +43,10 @@ def main():
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
-        models = SVDModels(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+        # fp32 master params + bf16 compute — MUST match the framework's own
+        # training policy (core/dtypes.py); bf16 masters would flatter the
+        # measured step (r2 VERDICT weak #3)
+        models = SVDModels(dtype=jnp.bfloat16, param_dtype=jnp.float32)
         h, w, f = args.height, args.width, args.frames
     else:
         from svd_xtend_tpu.core.config import TINY_CLIP, TINY_UNET, TINY_VAE

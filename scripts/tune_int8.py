@@ -56,6 +56,71 @@ def timed_burst(fn, *args) -> float:
     return best
 
 
+def collect_dense_shapes(height, width, frames, batch, dtype):
+    """Trace the UNet (CFG batch) under int8 mode: every QDense dispatch
+    records its (rows, cin, cout) in the quant registry."""
+    from svd_xtend_tpu.core.config import UNetConfig
+    from svd_xtend_tpu.models.unet import UNetSpatioTemporalConditionModel
+
+    unet = UNetSpatioTemporalConditionModel(UNetConfig(), dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    h8, w8 = height // 8, width // 8
+    with quant.quantized("int8"):
+        for bb in {2 * batch, batch}:
+            lat = jnp.zeros((bb, frames, h8, w8, 8), dtype)
+            t = jnp.zeros((bb,), jnp.float32)
+            ctx = jnp.zeros((bb, 1, 1024), dtype)
+            added = jnp.zeros((bb, 3), jnp.float32)
+            jax.eval_shape(unet.init, rng, lat, t, ctx, added)
+    return quant.recorded_dense_shapes()
+
+
+def dense_xla(x, k, b):
+    y = x @ k
+    return y + b if b is not None else y
+
+
+def tune_dense(args, dtype):
+    shapes = collect_dense_shapes(args.height, args.width, args.frames,
+                                  args.batch, dtype)
+    print(f"{len(shapes)} dense shapes recorded", flush=True)
+    done = quant._load_dense_table() if not args.retune else {}
+    entries = {}
+    for rows, cin, cout in shapes:
+        if quant._dense_key(rows, cin, cout) in done:
+            continue
+        if rows * max(cin, cout) * 2 > args.max_bytes:
+            print(f"skip {rows}x{cin}->{cout} (too large)", flush=True)
+            continue
+        kx, kk = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(0),
+                               hash((rows, cin, cout)) & 0x7FFFFFFF))
+        x = jax.random.normal(kx, (rows, cin), dtype)
+        k = jax.random.normal(kk, (cin, cout), dtype) * cin ** -0.5
+        b = jnp.zeros((cout,), dtype)
+        try:
+            t_bf = timed_burst(dense_xla, x, k, b)
+            t_i8 = timed_burst(quant.int8_dense, x, k, b)
+        except Exception as e:
+            print(f"{rows}x{cin}->{cout}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:80]}", flush=True)
+            continue
+        r = t_bf / t_i8
+        entries[quant._dense_key(rows, cin, cout)] = {
+            "speedup": round(r, 3),
+            "t_bf16_ms": round(t_bf * 1e3, 4),
+            "t_int8_ms": round(t_i8 * 1e3, 4),
+        }
+        mark = " INT8" if r >= 1.15 else ""
+        print(f"{rows:>8d} x {cin:4d} -> {cout:4d}  bf16 {t_bf*1e3:8.3f} ms  "
+              f"int8 {t_i8*1e3:8.3f} ms  {r:5.2f}x{mark}", flush=True)
+        quant.save_dense_table(dict(entries), path=args.out,
+                               device_kind=jax.devices()[0].device_kind)
+        del x, k, b
+    wins = sum(1 for e in entries.values() if e["speedup"] >= 1.15)
+    print(f"\nwrote {len(entries)} dense entries ({wins} winners)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=320)
@@ -64,9 +129,16 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--out", default=None)
     ap.add_argument("--retune", action="store_true")
+    ap.add_argument("--dense", action="store_true",
+                    help="tune the attention/GEGLU dense projections "
+                         "(int8_dense_table) instead of the convs")
     ap.add_argument("--max-bytes", type=int, default=384 * 2 ** 20,
                     help="skip shapes whose bf16 input exceeds this (HBM guard)")
     args = ap.parse_args()
+
+    if args.dense:
+        tune_dense(args, jnp.bfloat16)
+        return
 
     dtype = jnp.bfloat16
     shapes = collect_shapes(args.height, args.width, args.frames, args.batch,

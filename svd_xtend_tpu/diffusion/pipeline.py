@@ -205,6 +205,7 @@ def generate(
     config: PipelineConfig = PipelineConfig(),
     boxes: Optional[Array] = None,      # (B, F, N, 4) Tracklet2Video cond
     box_mask: Optional[Array] = None,   # (B, F, N)
+    latent_shard: Optional[Any] = None, # NamedSharding for the (B,F,...) video
 ) -> Array:
     """img2vid: returns (B, F, H, W, 3) pixels in [-1, 1].
 
@@ -212,11 +213,17 @@ def generate(
     quant scopes are set inside _generate around the UNet / decoder apply
     sites (trace-time reads; config is a static jit arg, so each mode
     compiles separately and cache hits are mode-correct).
+
+    latent_shard (multi-chip latency mode — parallel/sharding.py
+    make_sharded_generate): a NamedSharding constraining the latent video's
+    (B, F) axes, e.g. P('data', 'frames'); None on a single chip.
     """
-    return _generate(models, params, image, rng, config, boxes, box_mask)
+    return _generate(models, params, image, rng, config, boxes, box_mask,
+                     latent_shard=latent_shard)
 
 
-@functools.partial(jax.jit, static_argnames=("models", "config"))
+@functools.partial(jax.jit,
+                   static_argnames=("models", "config", "latent_shard"))
 def _generate(
     models: SVDModels,
     params: dict,
@@ -225,6 +232,7 @@ def _generate(
     config: PipelineConfig = PipelineConfig(),
     boxes: Optional[Array] = None,
     box_mask: Optional[Array] = None,
+    latent_shard: Optional[Any] = None,
 ) -> Array:
     cfg = config
     b = image.shape[0]
@@ -240,16 +248,38 @@ def _generate(
         models, params, image, cfg.noise_aug_strength, k_cond)
     add_ids = get_add_time_ids(cfg.fps - cfg.fps_offset, cfg.motion_bucket_id,
                                cfg.noise_aug_strength, b)
-    # stacked CFG batch: [uncond, cond]
-    ehs = jnp.concatenate([jnp.zeros_like(image_embeds), image_embeds], axis=0)
-    cond_lat2 = jnp.concatenate([jnp.zeros_like(cond_latent), cond_latent], axis=0)
-    cond_lat2 = jnp.broadcast_to(cond_lat2[:, None], (2 * b, f, h8, w8, lat_c))
-    add_ids2 = jnp.concatenate([add_ids, add_ids], axis=0)
+
+    # Stacked CFG batch, INTERLEAVED per sample: [u0, c0, u1, c1, ...].
+    # Batch elements are independent in the UNet, so this is exactly the
+    # reference's [uncond..., cond...] concat up to batch order — but under
+    # data-parallel sharding each device keeps BOTH halves of its own
+    # samples, so the denoise loop needs zero collectives (a halves-concat
+    # layout forces a collective-permute pair around every UNet call when
+    # dp == batch; asserted in tests/test_sharding.py dp8).
+    def cfg_stack(u: Array, c: Array) -> Array:
+        return jnp.stack([u, c], axis=1).reshape((2 * u.shape[0],)
+                                                 + u.shape[1:])
+
+    def cfg_unstack(x: Array):
+        r = x.reshape((-1, 2) + x.shape[1:])
+        return r[:, 0], r[:, 1]
+
+    ehs = cfg_stack(jnp.zeros_like(image_embeds), image_embeds)
+    cond_lat_c = jnp.broadcast_to(cond_latent[:, None],
+                                  (b, f, h8, w8, lat_c))
+    if latent_shard is not None:
+        # multi-chip latency mode: pin the video's (B, F) layout so GSPMD
+        # shards the whole denoise loop over the frames axis
+        cond_lat_c = jax.lax.with_sharding_constraint(cond_lat_c, latent_shard)
+    cond_lat2 = cfg_stack(jnp.zeros_like(cond_lat_c), cond_lat_c)
+    add_ids2 = cfg_stack(add_ids, add_ids)
 
     scheduler = models.scheduler()
     sigmas = scheduler.sigmas(cfg.num_inference_steps)
     latents = jax.random.normal(k_init, (b, f, h8, w8, lat_c),
                                 jnp.float32) * scheduler.init_noise_sigma()
+    if latent_shard is not None:
+        latents = jax.lax.with_sharding_constraint(latents, latent_shard)
 
     guidance = jnp.linspace(cfg.min_guidance_scale, cfg.max_guidance_scale, f,
                             dtype=jnp.float32).reshape(1, f, 1, 1, 1)
@@ -258,10 +288,10 @@ def _generate(
     boxes2 = mask2 = None
     if boxes is not None:
         # CFG: unconditional half gets fully-masked (null) boxes
-        boxes2 = jnp.concatenate([jnp.zeros_like(boxes), boxes], axis=0)
+        boxes2 = cfg_stack(jnp.zeros_like(boxes), boxes)
         if box_mask is None:
             box_mask = jnp.ones(boxes.shape[:3], jnp.float32)
-        mask2 = jnp.concatenate([jnp.zeros_like(box_mask), box_mask], axis=0)
+        mask2 = cfg_stack(jnp.zeros_like(box_mask), box_mask)
 
     def unet_out(x_in, t_b, ehs_, add_ids_, boxes_, mask_):
         from ..ops import quant as _q
@@ -273,13 +303,12 @@ def _generate(
 
     def cfg_pair(latents, sigma):
         """(uncond, cond) UNet outputs as one stacked batch (exact path)."""
-        x_in = jnp.concatenate([latents, latents], axis=0)
+        x_in = cfg_stack(latents, latents)
         x_in = scheduler.scale_model_input(x_in, sigma)
         x_in = jnp.concatenate([x_in, cond_lat2], axis=-1)   # 8-channel input
         t = jnp.broadcast_to(scheduler.timestep(sigma), (2 * b,))
         out = unet_out(x_in, t, ehs, add_ids2, boxes2, mask2)
-        uncond, cond = jnp.split(out, 2, axis=0)
-        return uncond, cond
+        return cfg_unstack(out)
 
     k_reuse = max(1, cfg.uncond_reuse_interval)
     if k_reuse == 1:
@@ -296,11 +325,10 @@ def _generate(
         # every step, uncond refreshed every k-th step and carried between
         def cond_only(latents, sigma, cached_uncond):
             x_in = scheduler.scale_model_input(latents, sigma)
-            x_in = jnp.concatenate([x_in, cond_lat2[b:]], axis=-1)
+            x_in = jnp.concatenate([x_in, cond_lat_c], axis=-1)
             t = jnp.broadcast_to(scheduler.timestep(sigma), (b,))
-            out = unet_out(x_in, t, ehs[b:], add_ids2[b:],
-                           None if boxes2 is None else boxes2[b:],
-                           None if mask2 is None else mask2[b:])
+            out = unet_out(x_in, t, image_embeds, add_ids, boxes,
+                           None if boxes is None else box_mask)
             return cached_uncond, out
 
         def step(carry, xs):

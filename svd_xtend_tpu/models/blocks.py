@@ -112,7 +112,10 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
             # subgraph measurement. Lower only after your own pipeline A/B.
             fmargin = float(os.environ.get("SVDX_PALLAS_CONV_FUSED_MARGIN",
                                            "1.35"))
-            if fent.get("speedup", 0.0) < fmargin:
+            # "e2e" entries were validated by a whole-decode/pipeline
+            # interleaved A/B (scripts/tune_decode.py) — the only evidence
+            # that survives composition — and bypass the isolated margin
+            if fent.get("speedup", 0.0) < fmargin and not fent.get("e2e"):
                 return None
             if not conv3x3_pallas_fits(x_shape, features, dtype.itemsize,
                                        with_res):
@@ -132,7 +135,9 @@ def pallas_conv_dispatch(x_shape, features: int, dtype,
         # only take the kernel where the isolated margin can survive the
         # lost producer/consumer fusion
         margin = float(os.environ.get("SVDX_PALLAS_CONV_MARGIN", "10"))
-        if ent.get("speedup", float("inf")) < margin:
+        # "e2e" entries carry whole-decode/pipeline A/B validation
+        # (scripts/tune_decode.py) and bypass the isolated margin
+        if ent.get("speedup", float("inf")) < margin and not ent.get("e2e"):
             return None
         if not conv3x3_pallas_fits(x_shape, features, dtype.itemsize,
                                    with_res):
@@ -159,6 +164,21 @@ def split_cat_conv_enabled() -> bool:
     1.22-1.48x at every up-block conv1 site (microbench_concat_conv.py)."""
     import os
     return os.environ.get("SVDX_SPLIT_CAT_CONV", "1") != "0"
+
+
+def gn_fold_default() -> bool:
+    """Whether ResnetBlock2D uses the GN-fold form (pure-XLA per-(N, C)
+    stats + affine applied in the conv's input path) even when the conv
+    itself stays on XLA — instead of the standalone Pallas GroupNorm+SiLU
+    kernel pass. The kernel pins default layouts, so at sites whose
+    producer conv emits XLA's permuted activation layout the pallas_call
+    inserts a full-tensor relayout copy (measured: 2.9 ms reshape + 2.1 ms
+    kernel for ONE norm at the VAE-decode top level, r3 trace); the fold
+    form stays in whatever layout XLA prefers. Default OFF until the
+    whole-pipeline interleaved A/B on the chip validates it (the PERF.md
+    measurement law); enable with SVDX_GN_FOLD=1."""
+    import os
+    return os.environ.get("SVDX_GN_FOLD", "0") != "0"
 
 
 def _apply_pre_affine(v: Array, sc: Array, sh: Array, do_silu: bool) -> Array:
@@ -462,9 +482,13 @@ class ResnetBlock2D(nn.Module):
             h = conv("conv1")(x, x2=skip_cat, pre=(sc, sh, True),
                               post_shift=t.astype(jnp.float32)
                               if t is not None else None)
-        elif pallas_conv_dispatch(
+        elif gn_fold_default() or pallas_conv_dispatch(
                 x.shape, self.out_channels, self.dtype, fused=True,
                 epi="preS+post" if t is not None else "preS") is not None:
+            # fold form regardless of the conv backend (gn_fold_default):
+            # Conv3x3 applies the affine+SiLU as plain XLA ops when its
+            # dispatch stays XLA, fused into the kernel's input read when
+            # Pallas wins the site
             sc, sh = gns("norm1")(x, fold_only=True)
             h = conv("conv1")(x, pre=(sc, sh, True),
                               post_shift=t.astype(jnp.float32)
@@ -489,10 +513,11 @@ class ResnetBlock2D(nn.Module):
             skip = x
         dropout_active = self.dropout > 0.0 and not deterministic
         if (not dropout_active
-                and pallas_conv_dispatch(h.shape, self.out_channels,
-                                         self.dtype, with_res=True,
-                                         fused=True,
-                                         epi="preS+res") is not None):
+                and (gn_fold_default()
+                     or pallas_conv_dispatch(h.shape, self.out_channels,
+                                             self.dtype, with_res=True,
+                                             fused=True,
+                                             epi="preS+res") is not None)):
             sc2, sh2 = gns("norm2")(h, fold_only=True)
             return conv("conv2")(h, pre=(sc2, sh2, True), residual=skip)
         h = gns("norm2")(h)

@@ -36,6 +36,43 @@ from .embeddings import TimestepEmbedding, sinusoidal_embedding
 Array = jax.Array
 
 
+class QDense(nn.Module):
+    """nn.Dense with an opt-in W8A8 int8 fast path (ops/quant.py). Param
+    tree (kernel/bias, lecun_normal/zeros init) is identical to nn.Dense, so
+    checkpoints, LoRA targeting, and sharding rules are unaffected. The int8
+    path engages only when the ambient quant mode is "int8" (a trace-time
+    read — PipelineConfig.unet_quant is a static jit arg) AND the measured
+    dense table says this (rows, cin, cout) wins on the int8 MXU."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        from ..ops import quant
+        if bias is None:
+            x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        else:
+            x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                      dtype=self.dtype)
+        if (quant.get_mode() == "int8"
+                and quant.int8_dense_wins(x.shape, self.features)):
+            return quant.int8_dense(x, kernel, bias)
+        # exact path: identical math to nn.Dense (same dot_general, bias add
+        # in the promoted dtype) so the default pipeline is unchanged
+        y = jax.lax.dot_general(x, kernel,
+                                (((x.ndim - 1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
 class Attention(nn.Module):
     """Multi-head attention with diffusers-style projection names
     (to_q/to_k/to_v/to_out — the reference's LoRA targets,
@@ -55,7 +92,7 @@ class Attention(nn.Module):
         ctx = x if context is None else context
         # diffusers UNet attention convention: to_q/to_k/to_v bias-free,
         # to_out biased — real-checkpoint state dicts carry no qkv biases
-        dense = lambda feat, name: nn.Dense(
+        dense = lambda feat, name: QDense(
             feat, use_bias=name == "to_out", dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
 
@@ -101,10 +138,10 @@ class _GEGLUCore(nn.Module):
     def __call__(self, tokens: Array) -> Array:
         inner = self.dim * self.mult
         h, gate = jnp.split(
-            nn.Dense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="net_0_proj")(tokens), 2, axis=-1)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="net_2")(h * nn.gelu(gate))
+            QDense(inner * 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                   name="net_0_proj")(tokens), 2, axis=-1)
+        return QDense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="net_2")(h * nn.gelu(gate))
 
 
 class FeedForward(nn.Module):
@@ -128,8 +165,14 @@ class FeedForward(nn.Module):
                           param_dtype=self.param_dtype, name="core")
         nn.share_scope(self, core)
         s = x.shape[-2]
-        if self.chunk_size <= 0 or s % self.chunk_size or s == self.chunk_size:
+        if self.chunk_size <= 0 or s == self.chunk_size:
             return core(x)
+        if s % self.chunk_size:
+            # the reference's enable_forward_chunking surfaces a config error
+            # here; a silent no-op would quietly change nothing
+            raise ValueError(
+                f"ff chunk_size {self.chunk_size} must divide the token "
+                f"count {s} (src/unet_spatio_temporal_condition.py:328-355)")
         k = s // self.chunk_size
         xs = jnp.moveaxis(
             x.reshape(*x.shape[:-2], k, self.chunk_size, x.shape[-1]), -3, 0)
@@ -193,7 +236,7 @@ class FrameAxisAttention(nn.Module):
         out_dim = self.out_dim or c
         scale = self.head_dim ** -0.5
         # same bias convention as Attention: qkv bias-free, to_out biased
-        dense = lambda feat, name: nn.Dense(
+        dense = lambda feat, name: QDense(
             feat, use_bias=name == "to_out", dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
 
@@ -309,8 +352,8 @@ class TransformerSpatioTemporalModel(nn.Module):
                           dtype=self.dtype, param_dtype=self.param_dtype,
                           name="norm")(x)
         tokens = spatial_tokens(x)
-        tokens = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
-                          name="proj_in")(tokens)
+        tokens = QDense(inner, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj_in")(tokens)
 
         # cross-attn context for the temporal blocks: the first frame's
         # encoder state per batch element — FrameAxisAttention consumes the
@@ -353,6 +396,6 @@ class TransformerSpatioTemporalModel(nn.Module):
             mix = mix.reshape(bf, h * w, inner)               # free reshape
             tokens = time_mixer(tokens, mix, image_only_indicator)
 
-        tokens = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                          name="proj_out")(tokens)
+        tokens = QDense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj_out")(tokens)
         return tokens.reshape(bf, h, w, c) + residual

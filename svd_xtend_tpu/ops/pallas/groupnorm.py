@@ -60,7 +60,8 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, member_ref, o_ref,
     sums = jax.lax.dot(x, member, preferred_element_type=jnp.float32)
     mean_g = jnp.sum(sums, axis=0, keepdims=True) / denom          # (1, G) f32
     sq = jax.lax.dot(x * x, member, preferred_element_type=jnp.float32)
-    var_g = jnp.sum(sq, axis=0, keepdims=True) / denom - mean_g * mean_g
+    var_g = jnp.maximum(
+        jnp.sum(sq, axis=0, keepdims=True) / denom - mean_g * mean_g, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)                             # (1, G)
     # broadcast group stats back to channels via member^T matmul (fp32)
     memberT = member_ref[...].T
@@ -93,7 +94,7 @@ def _stats_kernel(x_ref, member_ref, mean_ref, inv_ref, sum_scr, sq_scr,
     @pl.when(ti == tiles - 1)
     def _finalize():
         mean = sum_scr[...] / denom
-        var = sq_scr[...] / denom - mean * mean
+        var = jnp.maximum(sq_scr[...] / denom - mean * mean, 0.0)
         mean_ref[0] = mean
         inv_ref[0] = jax.lax.rsqrt(var + eps)
 
@@ -297,8 +298,10 @@ def group_norm_fold(x: Array, scale: Array, bias: Array, *, groups: int = 32,
     sq_c = jnp.sum(xf * xf, axis=1)                        # (sibling fusion)
     denom = float(x3.shape[1] * gs)
     mean = jnp.sum(sum_c.reshape(n, groups, gs), axis=2) / denom   # (N, G)
-    var = (jnp.sum(sq_c.reshape(n, groups, gs), axis=2) / denom
-           - mean * mean)
+    # one-pass E[x^2]-mean^2 can go slightly negative under f32 cancellation
+    # (near-constant group with large mean); clamp before rsqrt
+    var = jnp.maximum(jnp.sum(sq_c.reshape(n, groups, gs), axis=2) / denom
+                      - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     mean_c = jnp.repeat(mean, gs, axis=1)                  # (N, C)
     inv_c = jnp.repeat(inv, gs, axis=1)
@@ -324,7 +327,13 @@ def group_norm_fold_cat(parts, scale: Array, bias: Array, *,
     sums, sqs, spatial = [], [], None
     for p in parts:
         p3 = p.reshape(n, -1, p.shape[-1])
-        spatial = p3.shape[1]
+        if spatial is None:
+            spatial = p3.shape[1]
+        elif p3.shape[1] != spatial:
+            raise ValueError(
+                "group_norm_fold_cat: parts must share the spatial extent "
+                f"(got {p3.shape[1]} vs {spatial}) — the per-group denominator "
+                "assumes one spatial size across the channel concat")
         pf = p3.astype(jnp.float32)
         sums.append(jnp.sum(pf, axis=1))
         sqs.append(jnp.sum(pf * pf, axis=1))
@@ -332,8 +341,8 @@ def group_norm_fold_cat(parts, scale: Array, bias: Array, *,
     sq_c = jnp.concatenate(sqs, axis=-1)
     denom = float(spatial * gs)
     mean = jnp.sum(sum_c.reshape(n, groups, gs), axis=2) / denom   # (N, G)
-    var = (jnp.sum(sq_c.reshape(n, groups, gs), axis=2) / denom
-           - mean * mean)
+    var = jnp.maximum(jnp.sum(sq_c.reshape(n, groups, gs), axis=2) / denom
+                      - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     mean_c = jnp.repeat(mean, gs, axis=1)                  # (N, C)
     inv_c = jnp.repeat(inv, gs, axis=1)

@@ -247,7 +247,9 @@ def _fold_from_channel_sums(ps: Array, pq: Array, count: int, scale: Array,
     gs = c // groups
     denom = float(count * gs)
     mean_g = jnp.sum(sum_c.reshape(bsz, groups, gs), axis=2) / denom
-    var_g = jnp.sum(sq_c.reshape(bsz, groups, gs), axis=2) / denom - mean_g ** 2
+    var_g = jnp.maximum(
+        jnp.sum(sq_c.reshape(bsz, groups, gs), axis=2) / denom - mean_g ** 2,
+        0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
     mean_c = jnp.repeat(mean_g, gs, axis=1)
     inv_c = jnp.repeat(inv_g, gs, axis=1)

@@ -74,11 +74,17 @@ def shard_train_state(state: TrainState, mesh: Mesh,
     return jax.tree.map(lambda x, s: jax.device_put(x, s), state, shardings)
 
 
-def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0,
+                frames: bool = True) -> Any:
     """Shard pixel batches (..., B, F, H, W, C): B over 'data' and, when the
     mesh has a 'frames' axis, F over 'frames' (sequence parallelism — the
-    temporal attention/conv gathers are inserted by GSPMD)."""
-    sp = mesh.shape.get(FRAMES_AXIS, 1) > 1
+    temporal attention/conv gathers are inserted by GSPMD).
+
+    frames=False skips the F-axis rule — for inputs with no frame axis
+    (inference conditioning images are (B, H, W, 3); the frame axis only
+    exists on the latents created inside generate, which carry their own
+    sharding constraint — see make_sharded_generate)."""
+    sp = frames and mesh.shape.get(FRAMES_AXIS, 1) > 1
 
     def place(x):
         spec = [None] * x.ndim
@@ -137,22 +143,30 @@ def make_sharded_generate(models: SVDModels, mesh: Mesh):
     """Multi-chip inference: returns (generate_fn, place_params, place_images).
 
     Batch shards over 'data' (throughput), params replicate (or TP-shard by
-    the name rules when the mesh has a model axis). The 'frames' axis is
-    honored for the latent video via GSPMD propagation from the image batch
-    sharding; collectives are inserted by XLA (SURVEY.md §2.5).
+    the name rules when the mesh has a model axis). When the mesh has a
+    'frames' axis (single-video latency mode — PERF.md "frames-8"), the
+    latent video created inside generate carries an explicit
+    (data, frames, ...) sharding constraint; GSPMD inserts the
+    temporal-attention/conv gathers (SURVEY.md §2.5). The conditioning
+    images have NO frame axis, so they shard over 'data' only.
     """
     from ..core.config import PipelineConfig
     from ..diffusion.pipeline import generate
+
+    latent_shard = None
+    if mesh.shape.get(FRAMES_AXIS, 1) > 1:
+        latent_shard = NamedSharding(mesh, P(DATA_AXIS, FRAMES_AXIS))
 
     def place_params(params):
         return jax.tree.map(lambda x, s: jax.device_put(x, s), params,
                             state_shardings(params, mesh))
 
     def place_images(images):
-        return shard_batch(images, mesh, batch_axis=0)
+        return shard_batch(images, mesh, batch_axis=0, frames=False)
 
     def generate_fn(params, images, rng, config: "PipelineConfig", **kw):
         with mesh:
-            return generate(models, params, images, rng, config, **kw)
+            return generate(models, params, images, rng, config,
+                            latent_shard=latent_shard, **kw)
 
     return generate_fn, place_params, place_images

@@ -29,3 +29,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + str(jax.devices()))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (full-width parity oracles)")

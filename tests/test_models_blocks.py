@@ -210,3 +210,119 @@ def test_feedforward_chunking_matches_unchunked():
     # gradients flow through the lifted scan
     g = jax.grad(lambda p: float(0) + jnp.sum(ffc.apply(p, x4) ** 2))(p)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_ff_chunk_raises_on_non_divisible():
+    """The reference's enable_forward_chunking contract surfaces a config
+    error on a non-divisible chunk; silent no-op is a bug (r2 VERDICT #8)."""
+    import pytest
+
+    from svd_xtend_tpu.models.transformer import FeedForward
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 8))
+    ff = FeedForward(8, chunk_size=3)
+    with pytest.raises(ValueError, match="chunk_size"):
+        ff.init(jax.random.PRNGKey(1), x)
+
+
+def test_resnet_split_cat_matches_concat(monkeypatch):
+    """The split-concat machinery (_conv3x3_split_cat, _Conv1x1Cat,
+    group_norm_fold_cat) vs the materialized-concat form: outputs AND
+    gradients, f32, including a group boundary straddling the part split
+    (parts 20+12, gs=8: group 2 spans channels 16..24)."""
+    rng = jax.random.PRNGKey(0)
+    b, h, w = 2, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 20)) * 1.5 + 0.3
+    skip = jax.random.normal(jax.random.PRNGKey(2), (b, h, w, 12)) - 0.2
+    temb = jax.random.normal(jax.random.PRNGKey(3), (b, 24))
+    blk = ResnetBlock2D(out_channels=16, groups=4)
+
+    def run(split_on):
+        monkeypatch.setenv("SVDX_SPLIT_CAT_CONV", "1" if split_on else "0")
+        p = blk.init(rng, x, temb, skip_cat=skip)
+        out = blk.apply(p, x, temb, skip_cat=skip)
+        loss = lambda p, x, skip: jnp.sum(
+            blk.apply(p, x, temb, skip_cat=skip) ** 2)
+        gp, gx, gs = jax.grad(loss, argnums=(0, 1, 2))(p, x, skip)
+        return p, out, gp, gx, gs
+
+    p1, out1, gp1, gx1, gs1 = run(True)
+    p0, out0, gp0, gx0, gs0 = run(False)
+    # identical param trees (single concat-width kernels) under both modes
+    assert jax.tree.structure(p1) == jax.tree.structure(p0)
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs0),
+                               rtol=2e-4, atol=2e-4)
+    for a, b_ in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_group_norm_fold_cat_straddling_groups():
+    """group_norm_fold_cat == group_norm_fold on the materialized concat,
+    with group boundaries straddling the part split; mismatched spatial
+    extents are rejected."""
+    import pytest
+
+    from svd_xtend_tpu.ops.pallas.groupnorm import (group_norm_fold,
+                                                    group_norm_fold_cat)
+
+    n, s = 2, 7
+    p1 = jax.random.normal(jax.random.PRNGKey(0), (n, s, 20)) * 2 + 1
+    p2 = jax.random.normal(jax.random.PRNGKey(1), (n, s, 12)) - 3
+    scale = jax.random.normal(jax.random.PRNGKey(2), (32,))
+    bias = jax.random.normal(jax.random.PRNGKey(3), (32,))
+    sc_cat, sh_cat = group_norm_fold_cat([p1, p2], scale, bias, groups=4)
+    sc_ref, sh_ref = group_norm_fold(jnp.concatenate([p1, p2], -1), scale,
+                                     bias, groups=4)
+    np.testing.assert_allclose(np.asarray(sc_cat), np.asarray(sc_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh_cat), np.asarray(sh_ref),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="spatial"):
+        group_norm_fold_cat([p1, p2[:, :-1]], scale, bias, groups=4)
+
+
+def test_group_norm_fold_near_constant_group_no_nan():
+    """One-pass E[x^2]-mean^2 under f32 cancellation: a near-constant group
+    with a large mean must not produce NaN via a tiny negative variance
+    (r2 ADVICE: clamp before rsqrt)."""
+    from svd_xtend_tpu.ops.pallas.groupnorm import group_norm_fold
+
+    n, s, c = 1, 64, 16
+    x = jnp.full((n, s, c), 1000.0, dtype=jnp.float32)
+    sc, sh = group_norm_fold(x, jnp.ones((c,)), jnp.zeros((c,)), groups=4,
+                             eps=1e-6)
+    assert np.isfinite(np.asarray(sc)).all()
+    assert np.isfinite(np.asarray(sh)).all()
+
+
+def test_resnet_gn_fold_matches_kernel_path(monkeypatch):
+    """SVDX_GN_FOLD=1 (GN-fold form even on XLA convs — the decode
+    relayout fix) vs the standalone-GN path: outputs and gradients, f32,
+    with and without temb."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 32)) * 2 + 0.5
+    temb = jax.random.normal(jax.random.PRNGKey(2), (2, 24))
+    for use_temb in (True, False):
+        blk = ResnetBlock2D(out_channels=16, groups=4)
+        t = temb if use_temb else None
+
+        def run(fold):
+            monkeypatch.setenv("SVDX_GN_FOLD", "1" if fold else "0")
+            p = blk.init(rng, x, t)
+            out = blk.apply(p, x, t)
+            g = jax.grad(lambda xx: jnp.sum(blk.apply(p, xx, t) ** 2))(x)
+            return out, g
+
+        out1, g1 = run(True)
+        out0, g0 = run(False)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=2e-4, atol=2e-4)

@@ -103,3 +103,57 @@ def test_pipeline_int8_opt_in():
     assert bool(jnp.isfinite(q).all())
     # 2 sampler steps of quant noise through the UNet; loose sanity bound
     assert float(jnp.max(jnp.abs(q - exact))) < 0.5
+
+
+def test_int8_dense_parity():
+    """int8_dense vs the bf16 matmul within W8A8 quantization-noise bounds;
+    per-output-column weight scales handle wildly different column ranges."""
+    x = jax.random.normal(jax.random.PRNGKey(4), (6, 32, 64))
+    k = jax.random.normal(jax.random.PRNGKey(5), (64, 48)) * 0.1
+    k = k * (1.0 + jnp.arange(48) / 8.0)         # spread per-column ranges
+    b = jax.random.normal(jax.random.PRNGKey(6), (48,)) * 0.05
+    got = quant.int8_dense(x, k, b)
+    want = x @ k + b
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(want))) + 1e-6
+    assert err / scale < 0.03, err / scale
+
+
+def test_qdense_exact_path_matches_nn_dense():
+    """QDense (models/transformer.py) with quant mode off is numerically
+    nn.Dense with the identical param tree — checkpoints/LoRA unaffected."""
+    import flax.linen as nn
+
+    from svd_xtend_tpu.models.transformer import QDense
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (3, 10, 24))
+    for use_bias in (True, False):
+        qd = QDense(16, use_bias=use_bias)
+        nd = nn.Dense(16, use_bias=use_bias)
+        pq = qd.init(jax.random.PRNGKey(8), x)
+        pn = nd.init(jax.random.PRNGKey(8), x)
+        assert jax.tree.structure(pq) == jax.tree.structure(pn)
+        np.testing.assert_allclose(np.asarray(qd.apply(pn, x)),
+                                   np.asarray(nd.apply(pn, x)),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_qdense_int8_engages_under_force():
+    """With quant mode int8 + SVDX_INT8_FORCE, QDense routes to int8_dense
+    (output differs from exact by quantization noise but stays close)."""
+    from svd_xtend_tpu.models.transformer import QDense
+
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 12, 32))
+    qd = QDense(24, dtype=jnp.float32)
+    p = qd.init(jax.random.PRNGKey(10), x)
+    exact = qd.apply(p, x)
+    os.environ["SVDX_INT8_FORCE"] = "1"
+    try:
+        with quant.quantized("int8"):
+            q8 = qd.apply(p, x)
+    finally:
+        del os.environ["SVDX_INT8_FORCE"]
+    err = float(jnp.max(jnp.abs(q8 - exact)))
+    scale = float(jnp.max(jnp.abs(exact))) + 1e-6
+    assert 1e-8 < err / scale < 0.03, err / scale

@@ -314,3 +314,61 @@ def test_zero1_with_8bit_adam(setup):
         state, metrics = step(state, place_batch(batch), jax.random.PRNGKey(4))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 2
+
+
+def test_sharded_generate_dp8_no_hot_loop_collectives(setup):
+    """The PERF.md v5e-8 dp8 serving projection as a checked property:
+    over an (8,1,1) mesh, batch-8 generate must (a) match single-device and
+    (b) compile with ZERO collectives anywhere in the program — params
+    replicated, batch sharded, nothing crosses chips inside generate."""
+    from svd_xtend_tpu.core.config import MeshConfig, PipelineConfig
+    from svd_xtend_tpu.core.mesh import create_mesh
+    from svd_xtend_tpu.diffusion.pipeline import _generate, generate
+    from svd_xtend_tpu.parallel.sharding import make_sharded_generate
+
+    models, params = setup
+    cfg = PipelineConfig(height=32, width=32, num_frames=2,
+                         num_inference_steps=2, decode_chunk_size=2)
+    images = jax.random.uniform(jax.random.PRNGKey(5), (8, 32, 32, 3)) * 2 - 1
+    rng = jax.random.PRNGKey(6)
+
+    single = generate(models, params, images, rng, cfg)
+
+    mesh = create_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+    gen, place_params, place_images = make_sharded_generate(models, mesh)
+    p_s, im_s = place_params(params), place_images(images)
+    multi = gen(p_s, im_s, rng, cfg)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
+                               atol=2e-3, rtol=2e-3)
+
+    hlo = _generate.lower(models, p_s, im_s, rng, cfg).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "reduce-scatter",
+                 "collective-permute", "all-to-all"):
+        assert coll not in hlo, (
+            f"dp8 generate must have zero collectives, found {coll}")
+
+
+def test_sharded_generate_frames7_matches_single_device(setup):
+    """The PERF.md frames-7 latency mesh (1,1,7) with F=14 — one video, the
+    frame axis sharded 2 frames/device — must reproduce the single-device
+    video (GSPMD inserts the temporal-attention/conv gathers)."""
+    from svd_xtend_tpu.core.config import MeshConfig, PipelineConfig
+    from svd_xtend_tpu.core.mesh import FRAMES_AXIS, create_mesh
+    from svd_xtend_tpu.diffusion.pipeline import generate
+    from svd_xtend_tpu.parallel.sharding import make_sharded_generate
+
+    models, params = setup
+    cfg = PipelineConfig(height=32, width=32, num_frames=14,
+                         num_inference_steps=2, decode_chunk_size=7)
+    images = jax.random.uniform(jax.random.PRNGKey(8), (1, 32, 32, 3)) * 2 - 1
+    rng = jax.random.PRNGKey(9)
+
+    single = generate(models, params, images, rng, cfg)
+
+    mesh = create_mesh(MeshConfig(data=1, model=1, frames=7),
+                       jax.devices()[:7])
+    assert mesh.shape[FRAMES_AXIS] == 7
+    gen, place_params, place_images = make_sharded_generate(models, mesh)
+    multi = gen(place_params(params), place_images(images), rng, cfg)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
+                               atol=2e-3, rtol=2e-3)

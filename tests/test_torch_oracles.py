@@ -291,3 +291,103 @@ def test_geglu_ff_matches_torch():
     with torch.no_grad():
         expected = tm(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_full_width_unet_matches_torch():
+    """Full-width parity (r2 VERDICT missing #2): the REAL SVD config —
+    block_out_channels 320/640/1280/1280, heads 5/10/20/20 (head_dim 64),
+    cross_attention_dim 1024 (src/unet_spatio_temporal_condition.py:70-96) —
+    at tiny spatial/frame dims (16x16 latent, f=2), fp32, through the real
+    diffusers_to_flax import path. Exercises the 320-ch GN group boundaries,
+    d=64 head reshapes, and the 1280-channel split-concat up paths that the
+    TINY_UNET oracle never reaches."""
+    from torch_svd_unet import TorchUNetSpatioTemporal
+
+    from svd_xtend_tpu.core.config import UNetConfig
+    from svd_xtend_tpu.models.unet import UNetSpatioTemporalConditionModel
+
+    cfg = UNetConfig()          # the real SVD widths — no scaling
+    torch.manual_seed(7)
+    tm = TorchUNetSpatioTemporal(cfg).eval()
+
+    b, f, h, w = 1, 2, 16, 16
+    rs = np.random.RandomState(9)
+    sample = rs.randn(b, f, h, w, cfg.in_channels).astype(np.float32)
+    timestep = np.float32(41.0)
+    ehs = rs.randn(b, 1, cfg.cross_attention_dim).astype(np.float32)
+    add_ids = np.array([[6.0, 127.0, 0.02]], np.float32)
+
+    ours = UNetSpatioTemporalConditionModel(cfg, dtype=jnp.float32)
+    template = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(sample), jnp.asarray(timestep),
+        jnp.asarray(ehs), jnp.asarray(add_ids))["params"]
+    params = _import_from_torch(tm, template)
+    del template
+
+    got = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(sample), jnp.asarray(timestep),
+        jnp.asarray(ehs), jnp.asarray(add_ids)))
+    del params
+    with torch.no_grad():
+        expected = tm(
+            torch.from_numpy(sample.transpose(0, 1, 4, 2, 3)),
+            torch.tensor(timestep), torch.from_numpy(ehs),
+            torch.from_numpy(add_ids)).numpy().transpose(0, 1, 3, 4, 2)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-3)
+
+
+def test_full_width_vae_encoder_matches_torch():
+    """Real-width KL encoder parity (r2 VERDICT missing #2, VAE half):
+    block_out_channels 128/256/512/512 at a 64x64 input, fp32, through the
+    real diffusers_to_flax import path. Exercises the asymmetric-padding
+    downsamplers and the 512-ch mid attention at width."""
+    from torch_svd_vae import TorchVAEEncoder
+
+    from svd_xtend_tpu.core.config import VAEConfig
+    from svd_xtend_tpu.models.vae import Encoder
+
+    cfg = VAEConfig()
+    torch.manual_seed(11)
+    tm = TorchVAEEncoder(cfg).eval()
+
+    x = np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32)
+    ours = Encoder(cfg, dtype=jnp.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    params = _import_from_torch(tm, template)
+
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))
+                      ).numpy().transpose(0, 2, 3, 1)
+    assert got.shape == expected.shape == (2, 8, 8, 2 * cfg.latent_channels)
+    np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-3)
+
+
+def test_full_width_temporal_decoder_matches_torch():
+    """Real-width TemporalDecoder parity: 512->128 up path with
+    spatio-temporal resnets, upsamplers, and time_conv_out at width
+    (f=2, 8x8 latent), fp32, through diffusers_to_flax."""
+    from torch_svd_vae import TorchTemporalDecoder
+
+    from svd_xtend_tpu.core.config import VAEConfig
+    from svd_xtend_tpu.models.vae import TemporalDecoder
+
+    cfg = VAEConfig()
+    b, f = 1, 2
+    torch.manual_seed(13)
+    tm = TorchTemporalDecoder(cfg, f).eval()
+
+    z = np.random.RandomState(5).randn(b, f, 8, 8,
+                                       cfg.latent_channels).astype(np.float32)
+    ours = TemporalDecoder(cfg, dtype=jnp.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(z))["params"]
+    params = _import_from_torch(tm, template)
+
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(z)))
+    with torch.no_grad():
+        expected = tm(torch.from_numpy(z.transpose(0, 1, 4, 2, 3))
+                      ).numpy().transpose(0, 1, 3, 4, 2)
+    assert got.shape == expected.shape == (b, f, 64, 64, cfg.out_channels)
+    np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-3)
