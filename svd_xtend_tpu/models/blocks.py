@@ -174,11 +174,12 @@ def gn_fold_default() -> bool:
     producer conv emits XLA's permuted activation layout the pallas_call
     inserts a full-tensor relayout copy (measured: 2.9 ms reshape + 2.1 ms
     kernel for ONE norm at the VAE-decode top level, r3 trace); the fold
-    form stays in whatever layout XLA prefers. Default OFF until the
-    whole-pipeline interleaved A/B on the chip validates it (the PERF.md
-    measurement law); enable with SVDX_GN_FOLD=1."""
+    form stays in whatever layout XLA prefers. Default ON since the r3
+    interleaved whole-subsystem A/Bs (scripts/ab_env.py, v5e): VAE temporal
+    decode 157.3 -> 128.2 ms/chunk (1.227x), UNet CFG step 201.3 -> 199.6 ms
+    (1.008x). Kill switch: SVDX_GN_FOLD=0."""
     import os
-    return os.environ.get("SVDX_GN_FOLD", "0") != "0"
+    return os.environ.get("SVDX_GN_FOLD", "1") != "0"
 
 
 def _apply_pre_affine(v: Array, sc: Array, sh: Array, do_silu: bool) -> Array:
