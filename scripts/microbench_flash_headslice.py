@@ -111,9 +111,10 @@ def main():
             return fa.flash_attention(r(q), r(k), r(v), scale=scale).reshape(
                 b, s, h * d)
 
-        # arm H: head-sliced kernel on the native layout
+        # arm H: the packed kernel (heads sliced in VMEM, native layout)
         def arm_h(q, k, v):
-            return _fwd_headsliced(q, k, v, scale, h)[0]
+            return fa.flash_attention_packed(q, k, v, num_heads=h,
+                                             scale=scale)
 
         try:
             o_h = jax.jit(arm_h)(q, k, v)

@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import dot_product_attention, merge_heads, split_heads
+from ..ops.attention import dot_product_attention_packed
 from ..ops.video import spatial_tokens
 from .blocks import AlphaBlender
 from .embeddings import TimestepEmbedding, sinusoidal_embedding
@@ -119,10 +119,9 @@ class Attention(nn.Module):
         q = dense(inner, "to_q")(x)
         k = dense(inner, "to_k")(ctx)
         v = dense(inner, "to_v")(ctx)
-        o = dot_product_attention(
-            split_heads(q, self.num_heads), split_heads(k, self.num_heads),
-            split_heads(v, self.num_heads), impl=self.attn_impl)
-        return dense(out_dim, "to_out")(merge_heads(o))
+        o = dot_product_attention_packed(q, k, v, num_heads=self.num_heads,
+                                         impl=self.attn_impl)
+        return dense(out_dim, "to_out")(o)
 
 
 class _GEGLUCore(nn.Module):

@@ -65,6 +65,40 @@ def dot_product_attention(
     raise ValueError(f"unknown attention impl {impl!r}")
 
 
+def dot_product_attention_packed(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    num_heads: int,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> Array:
+    """Like dot_product_attention but on UNSPLIT (B, S, H*D) projections.
+
+    When flash dispatch applies and SVDX_PACKED_FLASH is on, routes to the
+    packed-layout kernel (ops/pallas/flash_attention.py:_fwd_packed) that
+    slices heads in VMEM — eliminating the four (B,S,H,D)<->(B*H,S,D)
+    transposes the head-major kernel pays per call (~0.22 ms each at the
+    L0 SVD shape, r3 trace). Otherwise identical to
+    merge_heads(dot_product_attention(split_heads(...)))."""
+    d = q.shape[-1] // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    if impl in ("auto", "flash"):
+        from .pallas.flash_attention import (flash_attention_packed,
+                                             packed_default)
+        s, t = q.shape[1], k.shape[1]
+        if (packed_default() and jax.default_backend() == "tpu"
+                and s % 128 == 0 and t % 128 == 0 and d <= 128):
+            return flash_attention_packed(q, k, v, num_heads=num_heads,
+                                          scale=scale)
+    o = dot_product_attention(
+        split_heads(q, num_heads), split_heads(k, num_heads),
+        split_heads(v, num_heads), scale=scale, impl=impl)
+    return merge_heads(o)
+
+
 def split_heads(x: Array, num_heads: int) -> Array:
     """(B, S, H*D) -> (B, S, H, D)."""
     b, s, hd = x.shape

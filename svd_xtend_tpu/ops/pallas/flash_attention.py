@@ -208,6 +208,138 @@ def _fwd(q: Array, k: Array, v: Array, scale: float) -> Tuple[Array, Array]:
     return out, lse
 
 
+# ------------------------------------------------- packed-layout forward ---
+# The wrapper transposes around every call ((B,S,H,D) <-> (B*H,S,D)) cost
+# ~0.22 ms per operand/result at the L0 SVD shape — ~20 anonymous copies,
+# ~4-6 ms/UNet step in the r3 trace. This variant consumes the projections'
+# NATIVE (B, S, H*D) layout: full-width (bq, H*D) tiles, heads sliced
+# IN-KERNEL (VMEM-local lane slices ride the existing HBM reads; K/V/Q HBM
+# traffic is unchanged because the kv grid axis no longer multiplies by H).
+# Per-head softmax stats live at 128-aligned slices of (bq, H*128) scratch.
+# Odd-head d=64 slices pay a Mosaic lane-rotate; measured net win at L0/L1
+# (scripts/microbench_flash_headslice.py). Inference-path only: the
+# custom_vjp backward re-enters the transposed kernels.
+
+def _fwd_packed_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       m_scr, l_scr, acc_scr, *, scale: float, kv_tiles: int,
+                       bq: int, bkm: int, num_heads: int, d: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    qf = q_ref[0]                                    # (bq, H*D)
+    kf = k_ref[0]                                    # (bkm, H*D)
+    vf = v_ref[0]
+    for h in range(num_heads):
+        q = qf[:, h * d:(h + 1) * d]
+        k = kf[:, h * d:(h + 1) * d]
+        v = vf[:, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32
+                                ) * (scale * LOG2E)
+        hs = slice(h * LANES, (h + 1) * LANES)
+        m_prev = m_scr[:, hs]                        # (bq, 128) lane-replicated
+        l_prev = l_scr[:, hs]
+        m_curr = jax.lax.broadcast_in_dim(jnp.max(s, axis=1), (bq, LANES), (0,))
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s - jax.lax.broadcast_in_dim(m_next[:, 0], (bq, bkm), (0,)))
+        l_curr = jax.lax.broadcast_in_dim(jnp.sum(p, axis=1), (bq, LANES), (0,))
+        m_scr[:, hs] = m_next
+        l_scr[:, hs] = alpha * l_prev + l_curr
+        ha = slice(h * LANES, h * LANES + d)
+        acc_scr[:, ha] = acc_scr[:, ha] * alpha[:, :d] + jax.lax.dot(
+            p.astype(vf.dtype), v, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == kv_tiles - 1)
+    def _finalize():
+        outs = []
+        for h in range(num_heads):
+            l = l_scr[:, h * LANES:h * LANES + d]
+            acc = acc_scr[:, h * LANES:h * LANES + d]
+            outs.append(acc / jnp.where(l == 0.0, 1.0, l))
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+        lses = []
+        for h in range(num_heads):
+            hs = slice(h * LANES, (h + 1) * LANES)
+            lse = m_scr[:, hs] / LOG2E + jnp.log(
+                jnp.maximum(l_scr[:, hs], 1e-30))
+            lses.append(lse[:, :SUBS].T)             # (8, bq)
+        lse_ref[0] = jnp.concatenate(lses, axis=0)   # (H*8, bq)
+
+
+# Packed-kernel block winners measured on v5e
+# (scripts/microbench_flash_headslice.py); wide-KV configs like (640, 1280)
+# crash the Mosaic compiler at the L0 shape — keep both tiles <= 640.
+_PACKED_BLOCKS = {2560: (512, 512)}
+
+
+def _packed_blocks(s_q: int, s_kv: int, num_heads: int, d: int,
+                   itemsize: int) -> Tuple[int, int]:
+    """(bq, bkm) under the packed kernel's VMEM budget: full-width q/k/v
+    tiles + (bq, H*128) f32 stats + transient (bq, bkm) f32 scores."""
+    budget = int(13.5 * 1024 * 1024)
+    if s_q == s_kv and s_q in _PACKED_BLOCKS:
+        return _PACKED_BLOCKS[s_q]
+    bq = _largest_div(s_q, cap=640)
+    bkm = _largest_div(s_kv, cap=640)
+    hd = num_heads * d
+
+    def vmem(bq, bkm):
+        return (bq * hd * itemsize * 2            # q tile + out tile
+                + 2 * bkm * hd * itemsize * 2     # k/v double-buffered
+                + 3 * bq * num_heads * LANES * 4  # m/l/acc scratch
+                + bq * bkm * 4)                   # score tile
+
+    while bq > BLOCK and vmem(bq, bkm) > budget:
+        bq = _largest_div(s_q, cap=bq - BLOCK)
+    while bkm > BLOCK and vmem(bq, bkm) > budget:
+        bkm = _largest_div(s_kv, cap=bkm - BLOCK)
+    return bq, bkm
+
+
+def _fwd_packed(q: Array, k: Array, v: Array, scale: float,
+                num_heads: int) -> Tuple[Array, Array]:
+    b, s_q, hd = q.shape
+    d = hd // num_heads
+    s_kv = k.shape[1]
+    bq, bkm = _packed_blocks(s_q, s_kv, num_heads, d, q.dtype.itemsize)
+    kv_tiles = s_kv // bkm
+    grid = (b, s_q // bq, kv_tiles)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_packed_kernel, scale=scale, kv_tiles=kv_tiles,
+                          bq=bq, bkm=bkm, num_heads=num_heads, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bkm, hd), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bkm, hd), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, hd), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, num_heads * SUBS, bq),
+                         lambda b, qi, ki: (b, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_q, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, num_heads * SUBS, s_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, num_heads * LANES), jnp.float32),
+            pltpu.VMEM((bq, num_heads * LANES), jnp.float32),
+            pltpu.VMEM((bq, num_heads * LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v)
+    return out, lse
+
+
 # ------------------------------------------------------------ backward -----
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
@@ -392,6 +524,16 @@ def _partitioned_fwd(scale: float):
 
 
 @functools.lru_cache(maxsize=None)
+def _partitioned_fwd_packed(scale: float, num_heads: int):
+    from .partition import batch_partitioned
+    return batch_partitioned(
+        lambda q, k, v: _fwd_packed(q, k, v, scale, num_heads),
+        [0, 0, 0], [0, 0],
+        rule="b s c, b t c, b t c -> b s c, b u s",
+        need_replication=("s", "t", "c", "u"))
+
+
+@functools.lru_cache(maxsize=None)
 def _partitioned_bwd(scale: float):
     from .partition import batch_partitioned
     return batch_partitioned(
@@ -434,7 +576,72 @@ def _flash_bwd(scale, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# --------------------------------------------- packed custom_vjp glue ------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_packed(q: Array, k: Array, v: Array, scale: float,
+                  num_heads: int) -> Array:
+    if _partitioned():
+        return _partitioned_fwd_packed(float(scale), num_heads)(q, k, v)[0]
+    return _fwd_packed(q, k, v, scale, num_heads)[0]
+
+
+def _flash_packed_fwd(q, k, v, scale, num_heads):
+    if _partitioned():
+        o, lse = _partitioned_fwd_packed(float(scale), num_heads)(q, k, v)
+    else:
+        o, lse = _fwd_packed(q, k, v, scale, num_heads)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_packed_bwd(scale, num_heads, res, do):
+    # Re-enter the head-major backward kernels. The transpose count equals
+    # the unpacked path's fwd+bwd total (4+4 there vs 0 fwd + 8 here), so
+    # training is layout-cost-neutral while inference saves all four.
+    q, k, v, o, lse = res
+    b, s_q, hd = q.shape
+    d = hd // num_heads
+    to_bh = lambda x: x.reshape(b, x.shape[1], num_heads, d).transpose(
+        0, 2, 1, 3).reshape(b * num_heads, x.shape[1], d)
+    lse_bh = lse.reshape(b * num_heads, SUBS, s_q)
+    if _partitioned():
+        dq, dk, dv = _partitioned_bwd(float(scale))(
+            to_bh(q), to_bh(k), to_bh(v), to_bh(o), lse_bh, to_bh(do))
+    else:
+        dq, dk, dv = _bwd_impl(to_bh(q), to_bh(k), to_bh(v), to_bh(o),
+                               lse_bh, to_bh(do), scale)
+    from_bh = lambda x, s: x.reshape(b, num_heads, s, d).transpose(
+        0, 2, 1, 3).reshape(b, s, hd)
+    s_kv = k.shape[1]
+    return (from_bh(dq, s_q), from_bh(dk, s_kv), from_bh(dv, s_kv))
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
+
+
 # ------------------------------------------------------------- public ------
+
+def packed_default() -> bool:
+    """Whether flash dispatch consumes the native (B, S, H*D) layout
+    (in-kernel head slicing) instead of transposing to (B*H, S, D) around
+    every call. Kill switch: SVDX_PACKED_FLASH=0."""
+    import os
+    return os.environ.get("SVDX_PACKED_FLASH", "0") != "0"
+
+
+def flash_attention_packed(q: Array, k: Array, v: Array, *, num_heads: int,
+                           scale: float) -> Array:
+    """(B, S, H*D) x (B, T, H*D) -> (B, S, H*D), softmax over T — the
+    transpose-free layout (see _fwd_packed)."""
+    b, s, hd = q.shape
+    t = k.shape[1]
+    d = hd // num_heads
+    if not (s % BLOCK == 0 and t % BLOCK == 0 and d <= BLOCK
+            and hd == num_heads * d):
+        raise ValueError(f"flash_attention_packed needs S,T % {BLOCK} == 0 "
+                         f"and D <= {BLOCK}; got S={s} T={t} D={d}")
+    return _flash_packed(q, k, v, scale, num_heads)
+
 
 def supports(q_shape: Tuple[int, ...], kv_len: int) -> bool:
     """Tile-alignment gate: sequences must divide the 128 block."""
