@@ -191,19 +191,28 @@ def _apply_pre_affine(v: Array, sc: Array, sh: Array, do_silu: bool) -> Array:
     return vv.astype(v.dtype)
 
 
+def _conv3x3_base(x: Array, kernel: Array) -> Array:
+    """Stride-1 SAME 3x3 conv, f32 output — direct XLA conv, or the Winograd
+    F(2x2,3x3) form at measured-winner shapes (ops/winograd.py)."""
+    from ..ops.winograd import _winograd_conv, winograd_wins
+    if winograd_wins(x.shape, kernel.shape[-1], x.dtype):
+        return _winograd_conv(x, kernel)
+    from ..ops.convacc import conv_f32acc
+    return conv_f32acc(x, kernel, (1, 1), ((1, 1), (1, 1)))
+
+
 def _conv3x3_split_cat(x: Array, x2: Array, kernel: Array, bias: Array,
                        pre=None, post_shift: Optional[Array] = None,
                        residual: Optional[Array] = None) -> Array:
     """conv3x3(concat([x, x2]), kernel) as two channel-sliced convs summed in
     one f32 accumulator; bias/t-emb/residual ride the same accumulator."""
-    from ..ops.convacc import conv_f32acc
     ca = x.shape[-1]
     if pre is not None:
         sc, sh, do_silu = pre
         x = _apply_pre_affine(x, sc[:, :ca], sh[:, :ca], do_silu)
         x2 = _apply_pre_affine(x2, sc[:, ca:], sh[:, ca:], do_silu)
-    y = (conv_f32acc(x, kernel[:, :, :ca], (1, 1), ((1, 1), (1, 1)))
-         + conv_f32acc(x2, kernel[:, :, ca:], (1, 1), ((1, 1), (1, 1)))
+    y = (_conv3x3_base(x, kernel[:, :, :ca])
+         + _conv3x3_base(x2, kernel[:, :, ca:])
          + bias.astype(jnp.float32))
     if post_shift is not None:
         y = y + post_shift[:, None, None, :].astype(jnp.float32)
@@ -320,6 +329,10 @@ class Conv3x3(nn.Module):
             if do_silu:
                 xv = xv * jax.nn.sigmoid(xv)
             x = xv.astype(x.dtype)
+        from ..ops.winograd import winograd_conv3x3, winograd_wins
+        if winograd_wins(x.shape, self.features, x.dtype):
+            return winograd_conv3x3(x, kernel, bias, post_shift=post_shift,
+                                    residual=residual)
         if (should_tile(h, w) and h % _TILE_H == 0 and w % _TILE_W == 0
                 and post_shift is None and residual is None):
             return conv3x3_tiled(x, kernel, bias)
