@@ -624,9 +624,11 @@ _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 def packed_default() -> bool:
     """Whether flash dispatch consumes the native (B, S, H*D) layout
     (in-kernel head slicing) instead of transposing to (B*H, S, D) around
-    every call. Kill switch: SVDX_PACKED_FLASH=0."""
+    every call. Default ON: interleaved UNet-step A/B measured 1.031x
+    (201.5 -> 195.3 ms, both rounds — PERF.md session-13/14). Kill switch:
+    SVDX_PACKED_FLASH=0."""
     import os
-    return os.environ.get("SVDX_PACKED_FLASH", "0") != "0"
+    return os.environ.get("SVDX_PACKED_FLASH", "1") != "0"
 
 
 def flash_attention_packed(q: Array, k: Array, v: Array, *, num_heads: int,
