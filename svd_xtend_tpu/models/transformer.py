@@ -76,7 +76,9 @@ class QDense(nn.Module):
 class Attention(nn.Module):
     """Multi-head attention with diffusers-style projection names
     (to_q/to_k/to_v/to_out — the reference's LoRA targets,
-    train_svd_lora.py:663)."""
+    train_svd_lora.py:663). Consults the attention-processor registry
+    (models/attn_processor.py ≙ set_attn_processor,
+    src/unet_spatio_temporal_condition.py:247-321) keyed by module path."""
 
     num_heads: int
     head_dim: int
@@ -95,6 +97,19 @@ class Attention(nn.Module):
         dense = lambda feat, name: QDense(
             feat, use_bias=name == "to_out", dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
+
+        from .attn_processor import get_processor
+        site = "/".join(self.path)
+        proc = get_processor(site)
+        if proc is not None:
+            # custom processor: full projections, no 1-token shortcut (the
+            # processor may implement different math at this site)
+            q = dense(inner, "to_q")(x)
+            k = dense(inner, "to_k")(ctx)
+            v = dense(inner, "to_v")(ctx)
+            o = proc(q, k, v, num_heads=self.num_heads,
+                     scale=self.head_dim ** -0.5, site=site)
+            return dense(out_dim, "to_out")(o)
 
         if context is not None and ctx.shape[-2] == 1:
             # Single-key cross-attention (SVD: the one CLIP token): softmax
@@ -238,6 +253,32 @@ class FrameAxisAttention(nn.Module):
         dense = lambda feat, name: QDense(
             feat, use_bias=name == "to_out", dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
+
+        from .attn_processor import get_processor
+        site = "/".join(self.path)
+        proc = get_processor(site)
+        if proc is not None:
+            # custom processor: hand it the reference's own temporal-token
+            # view ((B*S, F, C) — src/unet_spatio_temporal_condition.py:418)
+            # so one processor signature covers spatial and temporal sites;
+            # the layout-preserving fast paths below stay default-only
+            q = dense(inner, "to_q")(x)
+            if context is None:
+                k, v = dense(inner, "to_k")(x), dense(inner, "to_v")(x)
+                to_t = lambda a: a.transpose(0, 2, 1, 3).reshape(b * s, f, inner)
+                qq, kk, vv = to_t(q), to_t(k), to_t(v)
+            else:
+                n = context.shape[-2]
+                k = dense(inner, "to_k")(context)
+                v = dense(inner, "to_v")(context)
+                bcast = lambda a: jnp.broadcast_to(
+                    a[:, None], (b, s, n, inner)).reshape(b * s, n, inner)
+                qq = q.transpose(0, 2, 1, 3).reshape(b * s, f, inner)
+                kk, vv = bcast(k), bcast(v)
+            o = proc(qq, kk, vv, num_heads=self.num_heads, scale=scale,
+                     site=site)
+            o = o.reshape(b, s, f, inner).transpose(0, 2, 1, 3)
+            return dense(out_dim, "to_out")(o)
 
         if context is not None and context.shape[-2] == 1:
             # Single-key cross-attention (the one CLIP token): softmax over
