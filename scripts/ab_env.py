@@ -86,7 +86,13 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=2,
                     help="interleave rounds (ABAB kills drift)")
+    ap.add_argument("--quant", default=None,
+                    help="ambient quant mode during tracing (e.g. int8)")
     args = ap.parse_args()
+
+    if args.quant:
+        from svd_xtend_tpu.ops import quant
+        quant.set_mode(args.quant)
 
     frames = args.frames or (8 if args.target == "decode" else 14)
     builder = build_decode if args.target == "decode" else build_unet
@@ -98,6 +104,11 @@ def main():
     for r in range(args.rounds):
         for v in values:
             os.environ[args.env] = v
+            # measured-table modules cache their tables in module globals;
+            # reset so env-path toggles (e.g. SVDX_INT8_DENSE_TABLE) re-read
+            from svd_xtend_tpu.ops import quant, winograd
+            quant._table = quant._dense_table = None
+            winograd._table = None
             jax.clear_caches()
             print(f"  round {r} {args.env}={v}:", flush=True)
             t, s = time_arm(build, args.iters)
