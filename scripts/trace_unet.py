@@ -28,7 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 def categorize(name: str, op: str) -> str:
     n = name.lower()
-    if "conv_general_dilated" in op or "conv" in n:
+    if "conv_general_dilated" in op:
         return "convolution"
     if "flash" in n or "attn1" in n:
         return "flash-attention (pallas)"
@@ -40,10 +40,20 @@ def categorize(name: str, op: str) -> str:
         return "temporal-resnet"
     if "AlphaBlender" in op or "mix_factor" in op:
         return "alpha-blend"
-    if "FeedForward" in op or "geglu" in op.lower():
-        return "feed-forward"
-    if "dot_general" in op or "dot" in n or "einsum" in op:
-        return "matmul"
+    if "dot_general" in op or "einsum" in op:
+        # split the GEMM surface by module role — the FF family alone is
+        # ~6 TFLOP/step and needs its own roofline line
+        if "/ff" in op or "net_0_proj" in op or "net_2" in op:
+            return "matmul: feed-forward"
+        if "to_q" in op or "to_k" in op or "to_v" in op or "to_out" in op:
+            return "matmul: qkv/out proj"
+        if "proj_in" in op or "proj_out" in op:
+            return "matmul: transformer in/out proj"
+        return "matmul: other"
+    if "conv" in n:
+        return "convolution"
+    if "dot" in n:
+        return "matmul: other"
     if "copy" in n or "transpose" in n or "bitcast" in n:
         return "layout/copy"
     if "reduce" in n or "reduce" in op:
@@ -127,19 +137,31 @@ def main():
         print("no device events; processes:", proc_names)
         return
 
+    # FLOPs attribution: dot/conv FLOPs inside each kernel (incl. fusion
+    # bodies) -> per-category TFLOP/s alongside the ms shares
+    from hlo_flops import kernel_flops
+    kflops = kernel_flops(hlo_text)
+
     total = sum(per_op.values())
     cats = defaultdict(float)
+    cat_fl = defaultdict(float)
     mods = defaultdict(float)
     for name, ms in per_op.items():
         op = op_of.get(name, "")
-        cats[categorize(name, op)] += ms
+        c = categorize(name, op)
+        cats[c] += ms
+        cat_fl[c] += kflops.get(name, 0.0)
         seg = _MODULE_RE.search(op)
         mods[seg.group(1) if seg else "(unattributed)"] += ms
     print(f"\ntotal device time (3 steps): {total:.1f} ms "
-          f"({total / 3:.1f} ms/step)\n")
+          f"({total / 3:.1f} ms/step); "
+          f"{sum(kflops.values())/1e12:.2f} TFLOP/step mapped\n")
     print("by category:")
     for c, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"  {c:38s} {ms / 3:8.2f} ms/step  {100 * ms / total:5.1f}%")
+        fl = cat_fl[c]  # per step (kflops is per program = per step)
+        tfs = fl / 1e12 / (ms / 3 / 1e3) if ms else 0.0
+        print(f"  {c:38s} {ms / 3:8.2f} ms/step  {100 * ms / total:5.1f}%"
+              + (f"  {fl/1e12:6.2f} TF @ {tfs:6.1f} TF/s" if fl else ""))
     print("\nby module:")
     for c, ms in sorted(mods.items(), key=lambda kv: -kv[1])[:12]:
         print(f"  {c:38s} {ms / 3:8.2f} ms/step  {100 * ms / total:5.1f}%")
@@ -148,9 +170,14 @@ def main():
     if args.category:
         ranked = [(n, ms) for n, ms in ranked
                   if categorize(n, op_of.get(n, "")) == args.category]
+    def _tfs(name, ms):
+        fl = kflops.get(name, 0.0)
+        return f"{fl/1e12/(ms/3/1e3):6.1f} TF/s" if fl and ms else "          "
+
     for name, ms in ranked[:args.top]:
         op = op_of.get(name, "")
-        print(f"  {ms / 3:8.3f} ms/step  {name[:40]:40s} {op[-70:]}")
+        print(f"  {ms / 3:8.3f} ms/step {_tfs(name, ms)} {name[:36]:36s} "
+              f"{op[-64:]}")
 
     if args.all_categories:
         for cat in sorted(cats, key=lambda c: -cats[c]):
@@ -160,7 +187,8 @@ def main():
                    if categorize(n, op_of.get(n, "")) == cat]
             for name, ms in sub[:15]:
                 op = op_of.get(name, "")
-                print(f"  {ms / 3:8.3f} ms/step  {name[:44]:44s} {op[-76:]}")
+                print(f"  {ms / 3:8.3f} ms/step {_tfs(name, ms)} "
+                      f"{name[:40]:40s} {op[-70:]}")
 
 
 if __name__ == "__main__":
