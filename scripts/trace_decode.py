@@ -136,19 +136,29 @@ def main():
         print("no device events; processes:", proc_names)
         return
 
+    from hlo_flops import kernel_flops
+    kflops = kernel_flops(hlo_text)
+
     total = sum(per_op.values())
     cats = defaultdict(float)
+    cat_fl = defaultdict(float)
     mods = defaultdict(float)
     for name, ms in per_op.items():
         op = op_of.get(name, "")
-        cats[categorize(name, op)] += ms
+        c = categorize(name, op)
+        cats[c] += ms
+        cat_fl[c] += kflops.get(name, 0.0)
         seg = _MODULE_RE.search(op)
         mods[seg.group(1) if seg else "(unattributed)"] += ms
     print(f"\ntotal device time (3 decodes): {total:.1f} ms "
-          f"({total / 3:.1f} ms/decode)\n")
+          f"({total / 3:.1f} ms/decode); "
+          f"{sum(kflops.values())/1e12:.2f} TFLOP/decode mapped\n")
     print("by category:")
     for c, ms in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"  {c:38s} {ms / 3:8.2f} ms  {100 * ms / total:5.1f}%")
+        fl = cat_fl[c]
+        tfs = fl / 1e12 / (ms / 3 / 1e3) if ms else 0.0
+        print(f"  {c:38s} {ms / 3:8.2f} ms  {100 * ms / total:5.1f}%"
+              + (f"  {fl/1e12:6.2f} TF @ {tfs:6.1f} TF/s" if fl else ""))
     print("\nby module:")
     for c, ms in sorted(mods.items(), key=lambda kv: -kv[1])[:14]:
         print(f"  {c:38s} {ms / 3:8.2f} ms  {100 * ms / total:5.1f}%")
