@@ -362,7 +362,15 @@ def group_norm_silu(x: Array, scale: Array, bias: Array, *, groups: int = 32,
                     silu: bool = True) -> Array:
     """GroupNorm (stats over all non-batch dims) + affine (+ fused SiLU)."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        import os
+        # SVDX_PALLAS_GN=0 forces the plain-XLA form at the standalone GN
+        # sites (transformer spatial norm, VAE attention norm) — the same
+        # relayout-tax question GN-fold answered for the resnet sites
+        # (PERF.md session-12); A/B via scripts/ab_env.py.
+        if os.environ.get("SVDX_PALLAS_GN", "1") == "0":
+            impl = "xla"
+        else:
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         return _gn_silu(x, scale, bias, groups, eps, silu)
     return group_norm_silu_reference(x, scale, bias, groups, eps, silu)
