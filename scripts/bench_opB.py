@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--margin", default=None,
                     help="override SVDX_PALLAS_CONV_MARGIN")
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--k", type=int, default=1,
+                    help="CFG-cache uncond_reuse_interval (1 = exact)")
+    ap.add_argument("--quant", default=None,
+                    help="unet/vae quant mode (e.g. int8)")
     args = ap.parse_args()
     if args.pallas_conv is not None:
         os.environ["SVDX_PALLAS_CONV"] = args.pallas_conv
@@ -44,7 +48,9 @@ def main():
 
     models = SVDModels(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     cfg = PipelineConfig(height=576, width=1024, num_frames=25,
-                         num_inference_steps=25, decode_chunk_size=8)
+                         num_inference_steps=25, decode_chunk_size=8,
+                         uncond_reuse_interval=args.k,
+                         unet_quant=args.quant, vae_quant=args.quant)
     rng = jax.random.PRNGKey(0)
     params = init_pipeline_params(models, rng)
     image = jax.random.uniform(jax.random.PRNGKey(1),
@@ -63,6 +69,8 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "metric": "img2vid_seconds_per_video_1024x576x25f",
+        "mode": ("exact" if args.k == 1 and not args.quant else
+                 f"k{args.k}" + (f"+{args.quant}" if args.quant else "")),
         "value": round(dt, 3),
         "frames_per_sec_per_chip": round(cfg.num_frames / dt, 3),
         "pallas_conv": os.environ.get("SVDX_PALLAS_CONV", "table"),
