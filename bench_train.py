@@ -21,6 +21,10 @@ def main():
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--frames", type=int, default=14)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--use-8bit-adam", action="store_true",
+                   help="blockwise-int8 Adam moments (the reference's "
+                        "bitsandbytes option; REQUIRED for full-mode on one "
+                        "16 GB chip: fp32 m/v for 1.5B params alone is 12 GB)")
     args = p.parse_args()
 
     import os
@@ -58,17 +62,24 @@ def main():
     params = init_pipeline_params(models, jax.random.PRNGKey(0))
     cfg = TrainConfig(train_mode=args.mode, learning_rate=1e-5,
                       lr_scheduler="constant", num_frames=f, height=h, width=w,
-                      remat_policy="block", mixed_precision="bf16" if on_tpu else "no")
+                      remat_policy="block",
+                      use_8bit_adam=args.use_8bit_adam,
+                      mixed_precision="bf16" if on_tpu else "no")
     opt = make_optimizer(cfg)
     state = create_train_state(cfg, params["unet"], opt,
                                lora_rng=jax.random.PRNGKey(1))
-    step = jax.jit(make_train_step(models, cfg, opt,
-                                   {"vae": params["vae"], "clip": params["clip"]}),
-                   donate_argnums=(0,))
+    # frozen vae/clip MUST be jit arguments, not closure: closed over they
+    # are baked into the executable as ~2.7 GB of constants, which is what
+    # actually broke the relay transport on training executables (r4)
+    # frozen towers run in compute dtype anyway (no optimizer state, no
+    # master-precision requirement) — bf16 storage halves their HBM/transfer
+    frozen = jax.tree.map(lambda x: x.astype(models.dtype),
+                          {"vae": params["vae"], "clip": params["clip"]})
+    step = jax.jit(make_train_step(models, cfg, opt), donate_argnums=(0,))
     batch = jax.random.uniform(jax.random.PRNGKey(2), (1, f, h, w, 3)) * 2 - 1
 
     try:
-        state, metrics = step(state, batch, jax.random.PRNGKey(3))
+        state, metrics = step(state, batch, jax.random.PRNGKey(3), frozen)
         float(jax.device_get(metrics["loss"]))      # compile + sync
     except Exception as e:
         # The axon relay cannot execute the full-size training executable
@@ -91,7 +102,7 @@ def main():
     try:
         for _ in range(args.steps):
             t0 = time.perf_counter()
-            state, metrics = step(state, batch, jax.random.PRNGKey(3))
+            state, metrics = step(state, batch, jax.random.PRNGKey(3), frozen)
             float(jax.device_get(metrics["loss"]))
             times.append(time.perf_counter() - t0)
     except Exception as e:

@@ -104,14 +104,17 @@ def make_sharded_train_step(
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (jitted_step, place_state, place_batch).
 
-    The frozen VAE/CLIP params are closed over after device_put with the same
-    name rules (they are replicated unless a rule matches). State is donated:
-    params/opt-state buffers are reused in place, halving peak HBM.
+    The frozen VAE/CLIP params are device_put with the same name rules
+    (replicated unless a rule matches) and passed to the step as a jit
+    ARGUMENT — closing over them bakes ~2.7 GB of fp32 ViT-H/VAE constants
+    into the executable (breaks the axon relay transport; PERF.md). State
+    is donated: params/opt-state buffers are reused in place, halving peak
+    HBM.
     """
     frozen_sharded = jax.tree.map(
         lambda x, s: jax.device_put(x, s), frozen_params,
         state_shardings(frozen_params, mesh))
-    step_fn = make_train_step(models, cfg, optimizer, frozen_sharded)
+    step_fn = make_train_step(models, cfg, optimizer)
     # batch micro-axis: with grad accumulation the leading axis is the accum
     # scan axis and axis 1 is the device batch
     batch_axis = 1 if cfg.gradient_accumulation_steps > 1 else 0
@@ -128,7 +131,7 @@ def make_sharded_train_step(
             out_sh = (state_shardings(state, mesh, zero1=zero1), None)
             _jit_cache["fn"] = jax.jit(step_fn, donate_argnums=(0,),
                                        out_shardings=out_sh)
-        return _jit_cache["fn"](state, batch, rng)
+        return _jit_cache["fn"](state, batch, rng, frozen_sharded)
 
     def place_state(state: TrainState) -> TrainState:
         return shard_train_state(state, mesh, zero1=zero1)

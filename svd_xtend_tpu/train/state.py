@@ -149,12 +149,20 @@ def create_train_state(cfg: TrainConfig, unet_params: Any,
 
 def make_train_step(models: SVDModels, cfg: TrainConfig,
                     optimizer: optax.GradientTransformation,
-                    frozen_params: dict) -> Callable:
+                    frozen_params: Optional[dict] = None) -> Callable:
     """Build the pure train step. `batch` is (accum, B, F, H, W, 3) pixels
     when gradient_accumulation_steps > 1, else (B, F, H, W, 3).
 
-    frozen_params: {"vae": ..., "clip": ...} — closed over (replicated or
-    sharded by the caller's jit in_shardings).
+    frozen_params: {"vae": ..., "clip": ...}. Two ways to supply them:
+      - here (closed over) — convenient for tests/small configs, BUT under
+        jit closed-over device trees are baked into the executable as
+        CONSTANTS (~2.66 GB at full size: fp32 ViT-H + VAE), which bloats
+        every executable and breaks the axon relay transport (PERF.md
+        "Training throughput", r4 root cause);
+      - as the returned step's 4th ARGUMENT (pass None here) — the device
+        path: `step(state, batch, rng, frozen)` keeps them jit arguments,
+        so the executable stays small. make_sharded_train_step and
+        bench_train.py use this form.
     """
     accum = cfg.gradient_accumulation_steps
 
@@ -166,26 +174,30 @@ def make_train_step(models: SVDModels, cfg: TrainConfig,
             return combine(trainable, state.frozen_unet)
         return trainable
 
-    def micro_loss(trainable, state, micro_batch, rng):
+    def micro_loss(trainable, state, micro_batch, rng, fp):
         unet_p = unet_tree(trainable, state)
         if isinstance(micro_batch, dict):
             # Tracklet2Video batches: {"pixel_values", "boxes", "box_mask"}
-            return training_loss(models, unet_p, frozen_params,
+            return training_loss(models, unet_p, fp,
                                  micro_batch["pixel_values"], rng, cfg,
                                  boxes=micro_batch.get("boxes"),
                                  box_mask=micro_batch.get("box_mask"))
-        return training_loss(models, unet_p, frozen_params, micro_batch,
-                             rng, cfg)
+        return training_loss(models, unet_p, fp, micro_batch, rng, cfg)
 
     grad_fn = jax.value_and_grad(micro_loss)
 
-    def train_step(state: TrainState, batch: Array, rng: Array):
+    def train_step(state: TrainState, batch: Array, rng: Array,
+                   frozen: Optional[dict] = None):
+        fp = frozen if frozen is not None else frozen_params
+        if fp is None:
+            raise ValueError("frozen vae/clip params must be given to "
+                             "make_train_step or passed as step(..., frozen)")
         rng = jax.random.fold_in(rng, state.step)
         if accum > 1:
             def body(carry, xs):
                 loss_sum, grads_sum = carry
                 pixels, key = xs
-                loss, grads = grad_fn(state.params, state, pixels, key)
+                loss, grads = grad_fn(state.params, state, pixels, key, fp)
                 return (loss_sum + loss,
                         jax.tree.map(jnp.add, grads_sum, grads)), None
             keys = jax.random.split(rng, accum)
@@ -194,7 +206,7 @@ def make_train_step(models: SVDModels, cfg: TrainConfig,
             loss = loss / accum
             grads = jax.tree.map(lambda g: g / accum, grads)
         else:
-            loss, grads = grad_fn(state.params, state, batch, rng)
+            loss, grads = grad_fn(state.params, state, batch, rng, fp)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
