@@ -68,6 +68,14 @@ def main():
     opt = make_optimizer(cfg)
     state = create_train_state(cfg, params["unet"], opt,
                                lora_rng=jax.random.PRNGKey(1))
+    if state.frozen_unet is not None:
+        # the frozen spatial partition (1.13B params) is inference-only —
+        # it is cast to the bf16 compute dtype at every use, so storing it
+        # fp32 costs 2.3 GB of HBM for nothing (fp32 masters are for
+        # TRAINED leaves; core/dtypes.py policy). Required to fit the
+        # full-size temporal step on one 16 GB chip.
+        state = state.replace(frozen_unet=jax.tree.map(
+            lambda x: x.astype(models.dtype), state.frozen_unet))
     # frozen vae/clip MUST be jit arguments, not closure: closed over they
     # are baked into the executable as ~2.7 GB of constants, which is what
     # actually broke the relay transport on training executables (r4)
@@ -75,6 +83,13 @@ def main():
     # master-precision requirement) — bf16 storage halves their HBM/transfer
     frozen = jax.tree.map(lambda x: x.astype(models.dtype),
                           {"vae": params["vae"], "clip": params["clip"]})
+    # free the init-time fp32 trees (9 GB at full size): the trainable
+    # leaves live on in `state` (same buffers); the fp32 frozen/vae/clip
+    # originals are dead weight once the bf16 copies exist, and pinning
+    # them OOMs the 16 GB chip before the step even runs (AOT
+    # memory_analysis: the step itself peaks ~11.5 GB incl. donation)
+    del params
+    import gc; gc.collect()
     step = jax.jit(make_train_step(models, cfg, opt), donate_argnums=(0,))
     batch = jax.random.uniform(jax.random.PRNGKey(2), (1, f, h, w, 3)) * 2 - 1
 
@@ -82,22 +97,20 @@ def main():
         state, metrics = step(state, batch, jax.random.PRNGKey(3), frozen)
         float(jax.device_get(metrics["loss"]))      # compile + sync
     except Exception as e:
-        # The axon relay cannot execute the full-size training executable
-        # (transport broken pipe — PERF.md). Report the failure mode rather
-        # than a bare zero; the same step runs on CPU meshes and is expected
-        # to run on directly-attached TPUs.
+        # Report the failure mode rather than a bare zero (historically the
+        # relay transport broke on bloated executables; fixed r4 — frozen
+        # towers as jit args + bf16 frozen storage, PERF.md "Training
+        # throughput").
         print(json.dumps({
             "metric": f"train_steps_per_sec_{args.mode}",
             "value": 0.0, "unit": "steps/sec/chip", "vs_baseline": 0.0,
-            "detail": {"error": f"warmup step failed: {type(e).__name__}",
-                       "note": "axon relay transport limit for large "
-                               "training executables; see PERF.md"},
+            "detail": {"error": f"warmup step failed: {type(e).__name__}: "
+                                f"{str(e)[:400]}"},
         }))
         return
 
-    # The axon relay is unreliable dispatching very large training
-    # executables repeatedly (broken pipe — PERF.md); time every step
-    # individually and report the mean of the steps that completed.
+    # Time every step individually and report the mean of the steps that
+    # completed, so a late relay hiccup still yields a number.
     times = []
     try:
         for _ in range(args.steps):

@@ -1,11 +1,9 @@
 """FLOPs accounting for the train step across operating points (CPU-only:
 traces + lowers the identical program, no TPU needed).
 
-Purpose: the axon relay cannot execute the full-size (512x320x14f)
-training executable (transport limit, PERF.md "Training throughput"), so
-the measured steps/sec comes from a reduced point and is extrapolated.
-This script makes the extrapolation explicit: it lowers the REAL train
-step (svd_xtend_tpu.train.state.make_train_step, full SVD architecture) at
+Purpose: TFLOP/step anchors for the measured steps/sec table in PERF.md
+"Training throughput" (all three points now measured directly on the TPU,
+r4). It lowers the REAL train step (svd_xtend_tpu.train.state.make_train_step, full SVD architecture) at
 both points and prints XLA's own flop/byte counts from
 ``jitted.lower(...).cost_analysis()`` — unoptimized-HLO counts, dominated
 by the conv/dot ops fusion cannot change, so the RATIO between points is

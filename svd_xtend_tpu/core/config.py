@@ -270,6 +270,13 @@ class TrainConfig(_JsonMixin):
     num_frames: int = 14
     per_device_batch_size: int = 1
     num_workers: int = 8
+    # frame-chunked VAE encode in the loss (TPU-native knob): the 2D encoder
+    # is strictly per-frame, so chunking is exact; unchunked, the encoder's
+    # top-level activations at 512x320x14f are ~3 GB bf16 PER TENSOR and
+    # blow the 16 GB/chip HBM before the UNet even runs (the reference
+    # encodes all frames at once on an 80 GB A100, train_svd.py:948).
+    # 0 = unchunked.
+    encode_chunk_size: int = 8
     # optimization
     learning_rate: float = 1e-4
     scale_lr: bool = False

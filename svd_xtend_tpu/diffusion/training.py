@@ -52,11 +52,33 @@ def encode_batch(models: SVDModels, params: dict, pixel_values: Array,
     vae = models.vae()
     scaling = models.vae_config.scaling_factor
 
-    # per-frame video latents, sampled from the posterior, scaled
+    # per-frame video latents, sampled from the posterior, scaled. The 2D
+    # encoder never mixes frames, so cfg.encode_chunk_size chunks the
+    # (b*f) frame batch exactly (full chunks via lax.map + one ragged
+    # remainder, like pipeline.decode_latents_chunked) — unchunked, the
+    # encoder's top-level activations at 512x320x14f (~3 GB bf16/tensor)
+    # exceed a 16 GB chip. Chunked sampling draws the posterior noise
+    # per-chunk (same distribution; RNG draw order differs from unchunked).
     frames = pixel_values.reshape(b * f, h, w, 3).astype(models.dtype)
-    posterior = vae.apply({"params": params["vae"]}, frames, method=vae.encode)
     ds = models.vae_config.downsample_factor
-    latents = posterior.sample(k_lat).reshape(b, f, h // ds, w // ds, -1) * scaling
+    encode_one = lambda fr, key: vae.apply(
+        {"params": params["vae"]}, fr, method=vae.encode).sample(key)
+    bf = b * f
+    cap = getattr(cfg, "encode_chunk_size", 0) or bf
+    cap = min(cap, bf)
+    n_full, rem = bf // cap, bf % cap
+    parts = []
+    keys = jax.random.split(k_lat, n_full + 1)   # last key = ragged remainder
+    if n_full:
+        stacked = frames[:n_full * cap].reshape(n_full, cap, h, w, 3)
+        parts.append(jax.lax.map(
+            lambda ck: encode_one(ck[0], ck[1]),
+            (stacked, keys[:n_full])).reshape(
+            n_full * cap, h // ds, w // ds, -1))
+    if rem:
+        parts.append(encode_one(frames[n_full * cap:], keys[n_full]))
+    sampled = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+    latents = sampled.reshape(b, f, h // ds, w // ds, -1) * scaling
 
     # noise-augmented first frame -> unscaled conditioning latent
     cond_sigmas = edm.rand_log_normal(k_aug, (b,), cfg.cond_aug_loc, cfg.cond_aug_std)
