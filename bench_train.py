@@ -21,6 +21,12 @@ def main():
     p.add_argument("--height", type=int, default=320)
     p.add_argument("--frames", type=int, default=14)
     p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--remat", choices=["none", "block", "outer"],
+                   default="block")
+    p.add_argument("--mem-only", action="store_true",
+                   help="AOT-compile and print the compiler's memory "
+                        "analysis without executing (probe whether a "
+                        "size/remat combination fits HBM)")
     p.add_argument("--use-8bit-adam", action="store_true",
                    help="blockwise-int8 Adam moments (the reference's "
                         "bitsandbytes option; REQUIRED for full-mode on one "
@@ -43,7 +49,8 @@ def main():
     from svd_xtend_tpu.core.config import TrainConfig
     from svd_xtend_tpu.diffusion.pipeline import SVDModels, init_pipeline_params
     from svd_xtend_tpu.train.optim import make_optimizer
-    from svd_xtend_tpu.train.state import create_train_state, make_train_step
+    from svd_xtend_tpu.train.state import (cast_frozen_to_compute,
+                                           create_train_state, make_train_step)
 
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
@@ -62,27 +69,19 @@ def main():
     params = init_pipeline_params(models, jax.random.PRNGKey(0))
     cfg = TrainConfig(train_mode=args.mode, learning_rate=1e-5,
                       lr_scheduler="constant", num_frames=f, height=h, width=w,
-                      remat_policy="block",
+                      remat_policy=args.remat,
                       use_8bit_adam=args.use_8bit_adam,
                       mixed_precision="bf16" if on_tpu else "no")
     opt = make_optimizer(cfg)
     state = create_train_state(cfg, params["unet"], opt,
                                lora_rng=jax.random.PRNGKey(1))
-    if state.frozen_unet is not None:
-        # the frozen spatial partition (1.13B params) is inference-only —
-        # it is cast to the bf16 compute dtype at every use, so storing it
-        # fp32 costs 2.3 GB of HBM for nothing (fp32 masters are for
-        # TRAINED leaves; core/dtypes.py policy). Required to fit the
-        # full-size temporal step on one 16 GB chip.
-        state = state.replace(frozen_unet=jax.tree.map(
-            lambda x: x.astype(models.dtype), state.frozen_unet))
-    # frozen vae/clip MUST be jit arguments, not closure: closed over they
-    # are baked into the executable as ~2.7 GB of constants, which is what
-    # actually broke the relay transport on training executables (r4)
-    # frozen towers run in compute dtype anyway (no optimizer state, no
-    # master-precision requirement) — bf16 storage halves their HBM/transfer
-    frozen = jax.tree.map(lambda x: x.astype(models.dtype),
-                          {"vae": params["vae"], "clip": params["clip"]})
+    # bf16 storage for every frozen tree (frozen UNet partition / LoRA base
+    # + VAE/CLIP towers) — required to fit the full-size step on one 16 GB
+    # chip; see train/state.py:cast_frozen_to_compute. The towers are then
+    # passed as jit ARGUMENTS, never closed over: baked-in constants are
+    # what actually broke the relay transport on training executables (r4).
+    state, frozen = cast_frozen_to_compute(
+        state, {"vae": params["vae"], "clip": params["clip"]}, models.dtype)
     # free the init-time fp32 trees (9 GB at full size): the trainable
     # leaves live on in `state` (same buffers); the fp32 frozen/vae/clip
     # originals are dead weight once the bf16 copies exist, and pinning
@@ -92,6 +91,30 @@ def main():
     import gc; gc.collect()
     step = jax.jit(make_train_step(models, cfg, opt), donate_argnums=(0,))
     batch = jax.random.uniform(jax.random.PRNGKey(2), (1, f, h, w, 3)) * 2 - 1
+
+    if args.mem_only:
+        compiled = step.lower(state, batch, jax.random.PRNGKey(3),
+                              frozen).compile()
+        ma = compiled.memory_analysis()
+        gb = 1 << 30
+        print(json.dumps({
+            "metric": f"train_mem_{args.mode}_{args.remat}",
+            "value": round((ma.argument_size_in_bytes
+                            + ma.output_size_in_bytes
+                            - ma.alias_size_in_bytes
+                            + ma.temp_size_in_bytes
+                            + ma.generated_code_size_in_bytes) / gb, 3),
+            "unit": "GB_peak_estimate", "vs_baseline": 0.0,
+            "detail": {"args_gb": round(ma.argument_size_in_bytes / gb, 3),
+                       "out_gb": round(ma.output_size_in_bytes / gb, 3),
+                       "alias_gb": round(ma.alias_size_in_bytes / gb, 3),
+                       "temp_gb": round(ma.temp_size_in_bytes / gb, 3),
+                       "code_gb": round(
+                           ma.generated_code_size_in_bytes / gb, 3),
+                       "operating_point": f"{w}x{h}x{f}f bs1 {args.mode}",
+                       "remat": args.remat},
+        }))
+        return
 
     try:
         state, metrics = step(state, batch, jax.random.PRNGKey(3), frozen)
@@ -132,6 +155,7 @@ def main():
         "vs_baseline": 0.0,   # reference publishes no steps/sec (BASELINE.md)
         "detail": {"seconds_per_step": round(dt, 3),
                    "operating_point": f"{w}x{h}x{f}f bs1 {args.mode}",
+                   "remat": args.remat,
                    "platform": "tpu" if on_tpu else "cpu-smoke"},
     }))
 

@@ -322,7 +322,7 @@ class TrainConfig(_JsonMixin):
     report_to: str = "tensorboard"
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     # performance
-    remat_policy: str = "block"         # none|block|full
+    remat_policy: str = "block"         # none|block|outer (models/unet.py)
     vae_encode_in_loop: bool = True     # False => latents precomputed by data pipeline
 
     @classmethod

@@ -46,7 +46,7 @@ class SVDModels:
     param_dtype: Any = jnp.float32
     attn_impl: str = "auto"
 
-    def unet(self, remat: bool = False) -> UNetSpatioTemporalConditionModel:
+    def unet(self, remat: Any = False) -> UNetSpatioTemporalConditionModel:
         return UNetSpatioTemporalConditionModel(
             self.unet_config, dtype=self.dtype, param_dtype=self.param_dtype,
             attn_impl=self.attn_impl, remat=remat)

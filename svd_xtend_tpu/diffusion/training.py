@@ -141,7 +141,7 @@ def edm_denoising_loss(models: SVDModels, unet_params: dict,
     model_in = jnp.concatenate([model_in, cond], axis=-1)
 
     add_ids = get_add_time_ids(7.0, 127.0, encodings.noise_aug, b)
-    pred = models.unet(remat=cfg.remat_policy != "none").apply(
+    pred = models.unet(remat=cfg.remat_policy).apply(
         {"params": unet_params}, model_in.astype(models.dtype), timesteps,
         encodings.image_embeds.astype(models.dtype), add_ids, boxes, box_mask)
 

@@ -13,7 +13,7 @@ per-block rematerialization (jax.checkpoint) to trade FLOPs for HBM.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -191,7 +191,17 @@ class UNetSpatioTemporalConditionModel(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
-    remat: bool = False
+    # rematerialization (jax.checkpoint) granularity — the TPU-native
+    # memory/FLOPs trade for training (the reference has no counterpart;
+    # torch would use gradient checkpointing, train_svd.py:608):
+    #   False | "none": stash every block's activations (fastest, most HBM)
+    #   True  | "block": remat every top-level block (least HBM; the bwd
+    #       recomputes ~one full forward)
+    #   "outer": remat only resolution levels 0-1 (down_blocks_0/1 and their
+    #       up mirrors) — the high-res blocks hold ~80 % of the activation
+    #       bytes (per-tensor 22.9/11.5 MB vs 5.7/2.9 MB at L2/L3,
+    #       PERF.md) but only ~half the recompute FLOPs
+    remat: Any = False
 
     @nn.compact
     def __call__(self, sample: Array, timestep: Array, encoder_hidden_states: Array,
@@ -239,14 +249,23 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         x = Conv3x3(cfg.block_out_channels[0], name="conv_in", **common)(x)
         residuals = [x]
 
-        maybe_remat = (lambda cls: nn.remat(cls, static_argnums=())) if self.remat \
-            else (lambda cls: cls)
+        remat_mode = {True: "block", False: "none"}.get(self.remat, self.remat)
+        if remat_mode not in ("none", "block", "outer"):
+            raise ValueError(f"unknown remat mode {self.remat!r}")
+
+        def maybe_remat(cls, level=None):
+            # level: resolution index (0 = highest res); None = mid block
+            if remat_mode == "none":
+                return cls
+            if remat_mode == "outer" and (level is None or level > 1):
+                return cls
+            return nn.remat(cls, static_argnums=())
 
         # ---- down ----
         for i, block_type in enumerate(cfg.down_block_types):
             is_final = i == len(cfg.down_block_types) - 1
             if block_type == "CrossAttnDownBlockSpatioTemporal":
-                x, res = maybe_remat(CrossAttnDownBlockSpatioTemporal)(
+                x, res = maybe_remat(CrossAttnDownBlockSpatioTemporal, i)(
                     cfg.block_out_channels[i], cfg.layers_per_block, f,
                     cfg.num_attention_heads[i],
                     transformer_layers=cfg.transformer_layers_per_block[i],
@@ -256,7 +275,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     name=f"down_blocks_{i}", **common,
                 )(x, emb_f, ehs_f, indicator, tracklet_tokens)
             elif block_type == "DownBlockSpatioTemporal":
-                x, res = maybe_remat(DownBlockSpatioTemporal)(
+                x, res = maybe_remat(DownBlockSpatioTemporal, i)(
                     cfg.block_out_channels[i], cfg.layers_per_block, f,
                     add_downsample=not is_final, resnet_eps=cfg.resnet_eps,
                     name=f"down_blocks_{i}", **common,
@@ -284,7 +303,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             skips = tuple(residuals[-n_res_up:])
             residuals = residuals[:-n_res_up]
             if block_type == "CrossAttnUpBlockSpatioTemporal":
-                x = maybe_remat(CrossAttnUpBlockSpatioTemporal)(
+                x = maybe_remat(CrossAttnUpBlockSpatioTemporal,
+                                len(cfg.up_block_types) - 1 - i)(
                     rev_channels[i], n_res_up, f, rev_heads[i],
                     transformer_layers=rev_tlayers[i], add_upsample=not is_final,
                     resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
@@ -292,7 +312,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     use_tracklet=use_tracklet, name=f"up_blocks_{i}", **common,
                 )(x, skips, emb_f, ehs_f, indicator, tracklet_tokens)
             elif block_type == "UpBlockSpatioTemporal":
-                x = maybe_remat(UpBlockSpatioTemporal)(
+                x = maybe_remat(UpBlockSpatioTemporal,
+                                len(cfg.up_block_types) - 1 - i)(
                     rev_channels[i], n_res_up, f, add_upsample=not is_final,
                     resnet_eps=cfg.resnet_eps, name=f"up_blocks_{i}", **common,
                 )(x, skips, emb_f, indicator)

@@ -36,7 +36,8 @@ from ..io.media import export_to_gif
 from ..parallel import make_sharded_train_step
 from ..train import checkpoint as ckpt_lib
 from ..train.optim import make_optimizer, training_schedule
-from ..train.state import create_train_state, param_audit, trainable_mask, unet_params_of
+from ..train.state import (cast_frozen_to_compute, create_train_state,
+                           param_audit, trainable_mask, unet_params_of)
 from ..utils.logging import MetricWriter, get_logger
 
 
@@ -112,7 +113,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     # mesh
     p.add_argument("--mesh_data", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
-    p.add_argument("--remat", choices=["none", "block"], default="block")
+    p.add_argument("--remat", choices=["none", "block", "outer"],
+                   default="block")
     return p.parse_args(argv)
 
 
@@ -263,6 +265,16 @@ def main(argv=None):
         with open(os.path.join(cfg.output_dir, "params_train.txt"), "w") as f:
             f.write("\n".join(train_names))
 
+    if models.dtype != jnp.float32:
+        # bf16 storage for all frozen trees (before restore, so checkpoint
+        # save/restore round-trips the same structure) + drop the fp32 init
+        # tree: together worth ~4-9 GB of HBM at full size — see
+        # cast_frozen_to_compute and PERF.md "Training throughput"
+        state, frozen = cast_frozen_to_compute(state, frozen, models.dtype)
+        del params      # trainable leaves live in state; towers in frozen
+        import gc
+        gc.collect()
+
     manager = ckpt_lib.CheckpointManager(cfg.output_dir,
                                          cfg.checkpoints_total_limit)
     data_step = 0
@@ -328,7 +340,9 @@ def main(argv=None):
                 logger.info("checkpoint saved at step %d", step + 1)
 
             if (step + 1) % cfg.validation_steps == 0 or step == start:
-                eval_params = dict(params)
+                # vae/clip from `frozen` (the fp32 init tree is dropped
+                # under bf16); generate computes in models.dtype either way
+                eval_params = dict(frozen)
                 eval_params["unet"] = (state.ema_params if state.ema_params
                                        is not None else unet_params_of(state, cfg))
                 run_validation(models, eval_params, args, cfg, step + 1,
@@ -340,6 +354,11 @@ def main(argv=None):
     if jax.process_index() == 0:
         final_unet = (state.ema_params if state.ema_params is not None
                       else unet_params_of(state, cfg))
+        # uniform-fp32 artifact: under bf16 the frozen partition is stored
+        # bf16 (cast_frozen_to_compute) while trained leaves keep fp32
+        # masters — upcasting is exact and keeps the diffusers checkpoint
+        # single-dtype like the reference's save_pretrained
+        final_unet = jax.tree.map(lambda x: x.astype(jnp.float32), final_unet)
         ckpt_lib.export_unet_diffusers(
             jax.device_get(final_unet), os.path.join(cfg.output_dir, "unet"),
             config_json=models.unet_config.to_json())

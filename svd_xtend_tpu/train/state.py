@@ -145,6 +145,31 @@ def create_train_state(cfg: TrainConfig, unet_params: Any,
     raise ValueError(f"unknown train_mode {cfg.train_mode!r}")
 
 
+def cast_frozen_to_compute(state: TrainState, frozen: dict,
+                           dtype) -> Tuple[TrainState, dict]:
+    """Store every NON-TRAINED tree at the compute dtype.
+
+    Frozen leaves (the temporal/tracklet frozen_unet partition, the LoRA
+    base_unet, and the VAE/CLIP towers) carry no optimizer state and are
+    cast to the compute dtype at every use anyway, so fp32 storage buys
+    nothing numerically: bf16-at-use from an fp32 store equals bf16-at-use
+    from a bf16 store (single rounding; exact for temporal/tracklet and
+    VAE/CLIP, ≤1 ulp for the LoRA base+delta merge). It costs real HBM —
+    at full size, 2.3 GB (frozen spatial partition) + 1.4 GB (VAE+CLIP)
+    [+3 GB LoRA base] — the difference between fitting the 512×320×14f
+    step on one 16 GB chip or not (PERF.md "Training throughput").
+    Matches the reference, which moves the frozen vae/image_encoder to
+    weight_dtype under AMP (train_svd.py:597-610) while keeping fp32
+    masters for TRAINED leaves only (core/dtypes.py policy).
+    """
+    cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+    if state.frozen_unet is not None:
+        state = state.replace(frozen_unet=cast(state.frozen_unet))
+    if state.base_unet is not None:
+        state = state.replace(base_unet=cast(state.base_unet))
+    return state, cast(frozen)
+
+
 # ------------------------------------------------------------ train step ----
 
 def make_train_step(models: SVDModels, cfg: TrainConfig,

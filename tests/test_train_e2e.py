@@ -103,6 +103,56 @@ def test_cli_train_checkpoint_resume(frame_folder, tmp_path):
     assert len(cks) <= 2
 
 
+def test_cli_train_bf16_frozen_storage(frame_folder, tmp_path):
+    """--mixed_precision bf16 stores frozen trees at the compute dtype
+    (state.cast_frozen_to_compute): train + checkpoint + resume + validation
+    + export must round-trip with the bf16 frozen_unet partition, and the
+    exported diffusers artifact must be uniform fp32."""
+    from svd_xtend_tpu.train import cli
+
+    out = str(tmp_path / "run_bf16")
+    common = [
+        "--base_folder", frame_folder, "--tiny_model",
+        "--width", "32", "--height", "32", "--num_frames", "2",
+        "--train_mode", "temporal", "--learning_rate", "1e-3",
+        "--lr_scheduler", "constant", "--lr_warmup_steps", "0",
+        "--output_dir", out, "--checkpointing_steps", "2",
+        "--validation_steps", "100", "--mixed_precision", "bf16",
+        "--remat", "none", "--num_workers", "2", "--seed", "7",
+    ]
+    cli.main(common + ["--max_train_steps", "2"])
+    with open(os.path.join(out, "logs", "metrics.jsonl")) as f:
+        lines = [json.loads(l) for l in f]
+    assert any(np.isfinite(l["train_loss"]) for l in lines)
+    # resume restores into the bf16-frozen state structure
+    cli.main(common + ["--max_train_steps", "4",
+                       "--resume_from_checkpoint", "latest"])
+    assert os.path.isdir(os.path.join(out, "checkpoint-4"))
+    # exported artifact is uniform fp32 (frozen leaves upcast at export)
+    from svd_xtend_tpu.io.convert import load_safetensors
+    sd = load_safetensors(os.path.join(
+        out, "unet", "diffusion_pytorch_model.safetensors"))
+    assert all(np.asarray(v).dtype == np.float32 for v in sd.values())
+
+
+def test_cli_lora_bf16_base(frame_folder, tmp_path):
+    """LoRA under bf16: the 'base_unet' tree is stored bf16 while the
+    adapters keep fp32 masters; training and export still work."""
+    from svd_xtend_tpu.train import cli
+
+    out = str(tmp_path / "lora_bf16")
+    cli.main([
+        "--base_folder", frame_folder, "--tiny_model",
+        "--width", "32", "--height", "32", "--num_frames", "2",
+        "--train_mode", "lora", "--rank", "2",
+        "--learning_rate", "1e-3", "--lr_scheduler", "constant",
+        "--output_dir", out, "--max_train_steps", "2",
+        "--checkpointing_steps", "100", "--validation_steps", "100",
+        "--mixed_precision", "bf16", "--remat", "none", "--num_workers", "2",
+    ])
+    assert os.path.exists(os.path.join(out, "pytorch_lora_weights.safetensors"))
+
+
 def test_cli_lora_export(frame_folder, tmp_path):
     from svd_xtend_tpu.train import cli
 
