@@ -23,6 +23,7 @@ def main():
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--remat", choices=["none", "block", "outer"],
                    default="block")
+    p.add_argument("--grad-dtype", choices=["fp32", "bf16"], default="fp32")
     p.add_argument("--mem-only", action="store_true",
                    help="AOT-compile and print the compiler's memory "
                         "analysis without executing (probe whether a "
@@ -69,7 +70,7 @@ def main():
     params = init_pipeline_params(models, jax.random.PRNGKey(0))
     cfg = TrainConfig(train_mode=args.mode, learning_rate=1e-5,
                       lr_scheduler="constant", num_frames=f, height=h, width=w,
-                      remat_policy=args.remat,
+                      remat_policy=args.remat, grad_dtype=args.grad_dtype,
                       use_8bit_adam=args.use_8bit_adam,
                       mixed_precision="bf16" if on_tpu else "no")
     opt = make_optimizer(cfg)
@@ -112,7 +113,8 @@ def main():
                        "code_gb": round(
                            ma.generated_code_size_in_bytes / gb, 3),
                        "operating_point": f"{w}x{h}x{f}f bs1 {args.mode}",
-                       "remat": args.remat},
+                       "remat": args.remat,
+                       "grad_dtype": args.grad_dtype},
         }))
         return
 
@@ -155,7 +157,7 @@ def main():
         "vs_baseline": 0.0,   # reference publishes no steps/sec (BASELINE.md)
         "detail": {"seconds_per_step": round(dt, 3),
                    "operating_point": f"{w}x{h}x{f}f bs1 {args.mode}",
-                   "remat": args.remat,
+                   "remat": args.remat, "grad_dtype": args.grad_dtype,
                    "platform": "tpu" if on_tpu else "cpu-smoke"},
     }))
 

@@ -310,6 +310,14 @@ class TrainConfig(_JsonMixin):
     ema_decay: float = 0.9999
     # precision
     mixed_precision: str = "bf16"       # no|bf16
+    # gradient storage dtype. "fp32" (default) keeps the exact cotangent of
+    # the fp32 masters; "bf16" differentiates w.r.t. the bf16 compute copy
+    # of the params (AMP convention — backward math is bf16 either way, this
+    # only changes the dtype the final per-param cotangent is STORED in),
+    # halving the transient grad tree (6.1 GB -> 3.0 GB for the full-FT
+    # scope at full size — what makes single-chip full-UNet finetuning fit
+    # a 16 GB v5e; PERF.md "Training throughput"). Masters stay fp32.
+    grad_dtype: str = "fp32"            # fp32|bf16
     # checkpointing
     output_dir: str = "./outputs"
     checkpointing_steps: int = 500

@@ -84,6 +84,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--mixed_precision", choices=["no", "bf16"], default="bf16")
+    p.add_argument("--grad_dtype", choices=["fp32", "bf16"], default="fp32",
+                   help="gradient STORAGE dtype (backward math is bf16 under "
+                        "mixed precision either way); bf16 halves the "
+                        "transient grad tree — required for single-chip "
+                        "full-UNet finetuning at full size (core/config.py)")
     p.add_argument("--seed", type=int, default=123)
     # checkpointing / validation / logging
     p.add_argument("--output_dir", default="./outputs/svd-finetune")
@@ -129,7 +134,7 @@ def build_train_config(args) -> TrainConfig:
         adam_beta1=args.adam_beta1, adam_beta2=args.adam_beta2,
         adam_weight_decay=args.adam_weight_decay, adam_epsilon=args.adam_epsilon,
         max_grad_norm=args.max_grad_norm, use_8bit_adam=args.use_8bit_adam,
-        zero1=args.zero1,
+        zero1=args.zero1, grad_dtype=args.grad_dtype,
         conditioning_dropout_prob=args.conditioning_dropout_prob,
         train_mode=args.train_mode, lora_rank=args.rank, lora_alpha=args.rank,
         tracklet_dim=args.tracklet_dim if args.train_mode == "tracklet" else 0,

@@ -210,6 +210,12 @@ def make_train_step(models: SVDModels, cfg: TrainConfig,
         return training_loss(models, unet_p, fp, micro_batch, rng, cfg)
 
     grad_fn = jax.value_and_grad(micro_loss)
+    # "bf16" differentiates w.r.t. the bf16 compute copy of the params —
+    # same backward math (compute is bf16 under jit either way), but the
+    # materialized cotangent tree is half the bytes (core/config.py
+    # grad_dtype). The optimizer applies bf16 grads to the fp32 masters.
+    gdt = (jnp.bfloat16 if getattr(cfg, "grad_dtype", "fp32") == "bf16"
+           else None)
 
     def train_step(state: TrainState, batch: Array, rng: Array,
                    frozen: Optional[dict] = None):
@@ -218,20 +224,22 @@ def make_train_step(models: SVDModels, cfg: TrainConfig,
             raise ValueError("frozen vae/clip params must be given to "
                              "make_train_step or passed as step(..., frozen)")
         rng = jax.random.fold_in(rng, state.step)
+        diff_params = (state.params if gdt is None else
+                       jax.tree.map(lambda x: x.astype(gdt), state.params))
         if accum > 1:
             def body(carry, xs):
                 loss_sum, grads_sum = carry
                 pixels, key = xs
-                loss, grads = grad_fn(state.params, state, pixels, key, fp)
+                loss, grads = grad_fn(diff_params, state, pixels, key, fp)
                 return (loss_sum + loss,
                         jax.tree.map(jnp.add, grads_sum, grads)), None
             keys = jax.random.split(rng, accum)
-            zero = jax.tree.map(jnp.zeros_like, state.params)
+            zero = jax.tree.map(jnp.zeros_like, diff_params)
             (loss, grads), _ = jax.lax.scan(body, (0.0, zero), (batch, keys))
             loss = loss / accum
             grads = jax.tree.map(lambda g: g / accum, grads)
         else:
-            loss, grads = grad_fn(state.params, state, batch, rng, fp)
+            loss, grads = grad_fn(diff_params, state, batch, rng, fp)
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -71,3 +71,48 @@ def test_restore_and_replay_is_bit_exact(setup):
             continue
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(final_a.step) == int(final_b.step) == 4
+
+
+def test_bf16_grad_dtype_trains_with_fp32_masters(setup):
+    """grad_dtype='bf16' (core/config.py): the materialized cotangent tree is
+    bf16 (half the transient HBM — what fits full-FT on one chip), masters
+    stay fp32, and the first-step loss matches fp32-grad training (the loss
+    is computed before any grad is applied; grads only change the UPDATE)."""
+    models, params, batch = setup
+    losses = {}
+    for gd in ("fp32", "bf16"):
+        cfg = TrainConfig(train_mode="temporal", learning_rate=3e-3,
+                          lr_scheduler="constant", conditioning_dropout_prob=0.0,
+                          remat_policy="none", grad_dtype=gd)
+        opt = make_optimizer(cfg)
+        state = create_train_state(
+            cfg, jax.tree.map(lambda x: x.copy(), params["unet"]), opt)
+        step = jax.jit(make_train_step(
+            models, cfg, opt,
+            {"vae": params["vae"], "clip": params["clip"]}))
+        for _ in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(7))
+            assert np.isfinite(float(m["loss"]))
+        losses[gd] = float(m["loss"])
+        # masters keep full precision regardless of grad storage dtype
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.dtype == jnp.float32
+    # same trajectory up to bf16 update rounding (loose: 3 steps of drift)
+    assert abs(losses["bf16"] - losses["fp32"]) < 0.05, losses
+
+
+def test_bf16_grad_dtype_accum(setup):
+    """grad accumulation composes with bf16 grads (the accumulator is the
+    grad dtype by design — documented memory/precision trade)."""
+    models, params, batch = setup
+    cfg = TrainConfig(train_mode="temporal", learning_rate=1e-3,
+                      lr_scheduler="constant", gradient_accumulation_steps=2,
+                      remat_policy="none", grad_dtype="bf16")
+    opt = make_optimizer(cfg)
+    state = create_train_state(
+        cfg, jax.tree.map(lambda x: x.copy(), params["unet"]), opt)
+    step = jax.jit(make_train_step(
+        models, cfg, opt, {"vae": params["vae"], "clip": params["clip"]}))
+    abatch = jnp.stack([batch[0], batch[0] * 0.5])[:, None]
+    state, m = step(state, abatch, jax.random.PRNGKey(9))
+    assert np.isfinite(float(m["loss"]))
