@@ -24,6 +24,14 @@ def main():
     p.add_argument("--remat", choices=["none", "block", "outer"],
                    default="block")
     p.add_argument("--grad-dtype", choices=["fp32", "bf16"], default="fp32")
+    p.add_argument("--max-grad-norm", type=float, default=1.0,
+                   help="0 disables global-norm clipping — the reference's "
+                        "ACTUAL behavior (train_svd.py parses the flag but "
+                        "never clips), and the memory-relevant choice for "
+                        "full-FT: the clip's global norm is a barrier that "
+                        "forces the whole fp32 grad tree live at once; "
+                        "without it XLA folds each leaf's optimizer chain "
+                        "into the backward as the grad is produced")
     p.add_argument("--mem-only", action="store_true",
                    help="AOT-compile and print the compiler's memory "
                         "analysis without executing (probe whether a "
@@ -71,6 +79,7 @@ def main():
     cfg = TrainConfig(train_mode=args.mode, learning_rate=1e-5,
                       lr_scheduler="constant", num_frames=f, height=h, width=w,
                       remat_policy=args.remat, grad_dtype=args.grad_dtype,
+                      max_grad_norm=args.max_grad_norm,
                       use_8bit_adam=args.use_8bit_adam,
                       mixed_precision="bf16" if on_tpu else "no")
     opt = make_optimizer(cfg)
