@@ -314,9 +314,13 @@ class TrainConfig(_JsonMixin):
     # the fp32 masters; "bf16" differentiates w.r.t. the bf16 compute copy
     # of the params (AMP convention — backward math is bf16 either way, this
     # only changes the dtype the final per-param cotangent is STORED in),
-    # halving the transient grad tree (6.1 GB -> 3.0 GB for the full-FT
-    # scope at full size — what makes single-chip full-UNet finetuning fit
-    # a 16 GB v5e; PERF.md "Training throughput"). Masters stay fp32.
+    # halving the transient grad tree. NOTE the measured full-FT caveat
+    # (PERF.md "Training throughput"): the bf16 param copy becomes a live
+    # differentiation root held across the whole backward, so for the FULL
+    # scope the net peak-HBM change is ~zero (compiler-measured 20.8 vs
+    # 19.3 GB at full size) — the option pays off when the trainable tree
+    # is small relative to activations (temporal/lora), not for full-FT.
+    # Masters stay fp32 in every case.
     grad_dtype: str = "fp32"            # fp32|bf16
     # checkpointing
     output_dir: str = "./outputs"
