@@ -79,7 +79,20 @@ def build(args):
         ("int8_cfg_k3", dataclasses.replace(base, unet_quant="int8",
                                             vae_quant="int8",
                                             uncond_reuse_interval=3)),
+        # DeepCache modes (PipelineConfig.deep_cache_interval/_depth)
+        ("deep_n2", dataclasses.replace(base, deep_cache_interval=2)),
+        ("deep_n3", dataclasses.replace(base, deep_cache_interval=3)),
+        ("deep_n2_d2", dataclasses.replace(base, deep_cache_interval=2,
+                                           deep_cache_depth=2)),
+        ("deep_n2_cfg_k3", dataclasses.replace(base, deep_cache_interval=2,
+                                               uncond_reuse_interval=3)),
+        ("deep_n2_int8_cfg_k3", dataclasses.replace(
+            base, deep_cache_interval=2, uncond_reuse_interval=3,
+            unet_quant="int8", vae_quant="int8")),
     ]
+    if args.only:
+        keep = set(args.only.split(","))
+        modes = [m for m in modes if m[0] in keep or m[0] == "exact"]
     return models, base, image, modes
 
 
@@ -212,6 +225,8 @@ def main():
                     help="timing iterations per mode (first run excluded)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny configs (CPU CI smoke)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated mode names to run (exact always kept)")
     ap.add_argument("--out", default=None, help="write the JSON table here")
     args = ap.parse_args()
 

@@ -236,6 +236,14 @@ class PipelineConfig(_JsonMixin):
     # before production use.
     unet_quant: Optional[str] = None
     vae_quant: Optional[str] = None
+    # approximate acceleration (OPT-IN; 1 = exact): DeepCache-style deep-
+    # feature reuse (models/unet.py) — every N-th Euler step runs the full
+    # UNet and caches the deep trunk (the input of up block
+    # n_up - deep_cache_depth); the steps between recompute only the
+    # high-res levels [0, depth) around the cached trunk. Composes with
+    # uncond_reuse_interval (per-branch caches) and the int8 paths.
+    deep_cache_interval: int = 1
+    deep_cache_depth: int = 1
 
 
 # Named operating points (BASELINE.md): A = the README comparison grids

@@ -293,12 +293,14 @@ def _generate(
             box_mask = jnp.ones(boxes.shape[:3], jnp.float32)
         mask2 = cfg_stack(jnp.zeros_like(box_mask), box_mask)
 
-    def unet_out(x_in, t_b, ehs_, add_ids_, boxes_, mask_):
+    def unet_out(x_in, t_b, ehs_, add_ids_, boxes_, mask_, **deep_kw):
         from ..ops import quant as _q
         with _q.quantized(cfg.unet_quant):   # trace-time scope: UNet convs only
             out = unet.apply({"params": params["unet"]},
                              x_in.astype(models.dtype),
-                             t_b, ehs_, add_ids_, boxes_, mask_)
+                             t_b, ehs_, add_ids_, boxes_, mask_, **deep_kw)
+        if isinstance(out, tuple):           # return_deep=True
+            return out[0].astype(jnp.float32), out[1]
         return out.astype(jnp.float32)
 
     def cfg_pair(latents, sigma):
@@ -311,7 +313,100 @@ def _generate(
         return cfg_unstack(out)
 
     k_reuse = max(1, cfg.uncond_reuse_interval)
-    if k_reuse == 1:
+    n_deep = max(1, cfg.deep_cache_interval)
+    if n_deep > 1:
+        # DeepCache (PipelineConfig.deep_cache_interval, models/unet.py):
+        # every n_deep-th step runs the full UNet and caches the deep trunk;
+        # in between only the high-res levels recompute around it. Composes
+        # with the CFG cache (uncond_reuse_interval): per-branch deep caches
+        # live in the interleaved stacked layout, the uncond cache as before.
+        d = cfg.deep_cache_depth
+        rev_ch = list(reversed(models.unet_config.block_out_channels))
+        n_up = len(rev_ch)
+        deep_c_ch = rev_ch[n_up - d - 1]
+        dshape = (2 * b, f, h8 // 2 ** (d - 1), w8 // 2 ** (d - 1), deep_c_ch)
+
+        def pair_full(latents, sigma):
+            x_in = cfg_stack(latents, latents)
+            x_in = scheduler.scale_model_input(x_in, sigma)
+            x_in = jnp.concatenate([x_in, cond_lat2], axis=-1)
+            t = jnp.broadcast_to(scheduler.timestep(sigma), (2 * b,))
+            out, deep2 = unet_out(x_in, t, ehs, add_ids2, boxes2, mask2,
+                                  return_deep=True, cache_depth=d)
+            u, c = cfg_unstack(out)
+            return u, c, deep2
+
+        def pair_shallow(latents, sigma, deep2):
+            x_in = cfg_stack(latents, latents)
+            x_in = scheduler.scale_model_input(x_in, sigma)
+            x_in = jnp.concatenate([x_in, cond_lat2], axis=-1)
+            t = jnp.broadcast_to(scheduler.timestep(sigma), (2 * b,))
+            out = unet_out(x_in, t, ehs, add_ids2, boxes2, mask2,
+                           cached_deep=deep2, cache_depth=d)
+            return cfg_unstack(out)
+
+        def cond_half(latents, sigma, **deep_kw):
+            x_in = scheduler.scale_model_input(latents, sigma)
+            x_in = jnp.concatenate([x_in, cond_lat_c], axis=-1)
+            t = jnp.broadcast_to(scheduler.timestep(sigma), (b,))
+            return unet_out(x_in, t, image_embeds, add_ids, boxes,
+                            None if boxes is None else box_mask, **deep_kw)
+
+        steps = sigmas.shape[0] - 1
+        xs = (jnp.arange(steps), sigmas[:-1], sigmas[1:])
+        deep0 = jnp.zeros(dshape, models.dtype)
+
+        def euler(latents, uncond, cond, sigma, sigma_next):
+            model_out = uncond + guidance * (cond - uncond)
+            denoised = scheduler.denoised(model_out, latents, sigma)
+            return scheduler.step(latents, denoised, sigma, sigma_next)
+
+        if k_reuse == 1:
+            def step(carry, xs_t):
+                latents, deep2 = carry
+                i, sigma, sigma_next = xs_t
+                u, c, deep2 = jax.lax.cond(
+                    i % n_deep == 0,
+                    lambda: pair_full(latents, sigma),
+                    lambda: pair_shallow(latents, sigma, deep2) + (deep2,))
+                return (euler(latents, u, c, sigma, sigma_next), deep2), None
+
+            (latents, _), _ = jax.lax.scan(step, (latents, deep0), xs)
+        else:
+            def step(carry, xs_t):
+                latents, cached_uncond, deep2 = carry
+                i, sigma, sigma_next = xs_t
+
+                def both_fresh():
+                    return pair_full(latents, sigma)
+
+                def uncond_fresh_deep_stale():
+                    u, c = pair_shallow(latents, sigma, deep2)
+                    return u, c, deep2
+
+                def cond_only_deep_fresh():
+                    c, deep_c = cond_half(latents, sigma,
+                                          return_deep=True, cache_depth=d)
+                    deep_u, _ = cfg_unstack(deep2)
+                    return cached_uncond, c, cfg_stack(deep_u, deep_c)
+
+                def cond_only_deep_stale():
+                    _, deep_c = cfg_unstack(deep2)
+                    c = cond_half(latents, sigma,
+                                  cached_deep=deep_c, cache_depth=d)
+                    return cached_uncond, c, deep2
+
+                idx = ((i % k_reuse == 0).astype(jnp.int32) * 2
+                       + (i % n_deep == 0).astype(jnp.int32))
+                u, c, deep2 = jax.lax.switch(
+                    idx, [cond_only_deep_stale, cond_only_deep_fresh,
+                          uncond_fresh_deep_stale, both_fresh])
+                nxt = euler(latents, u, c, sigma, sigma_next)
+                return (nxt, u, deep2), None
+
+            (latents, _, _), _ = jax.lax.scan(
+                step, (latents, jnp.zeros_like(latents), deep0), xs)
+    elif k_reuse == 1:
         def step(latents, sig_pair):
             sigma, sigma_next = sig_pair
             uncond, cond = cfg_pair(latents, sigma)

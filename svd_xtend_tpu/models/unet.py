@@ -207,7 +207,31 @@ class UNetSpatioTemporalConditionModel(nn.Module):
     def __call__(self, sample: Array, timestep: Array, encoder_hidden_states: Array,
                  added_time_ids: Array, boxes: Optional[Array] = None,
                  box_mask: Optional[Array] = None,
-                 instance_ids: Optional[Array] = None) -> Array:
+                 instance_ids: Optional[Array] = None,
+                 cached_deep: Optional[Array] = None,
+                 return_deep: bool = False,
+                 cache_depth: int = 1) -> Array:
+        """Standard forward, plus the DeepCache-style partial-evaluation pair
+        (inference-only acceleration; Ma et al. 2023, "DeepCache" — adjacent
+        diffusion steps change the deep (low-res) UNet features slowly, so
+        they can be cached and reused while the high-res levels refresh):
+
+        - ``return_deep=True``: full forward that ALSO returns the deep
+          feature — the input of up block ``n_up - cache_depth`` (e.g. for
+          ``cache_depth=1`` the output of up_blocks_2, at full latent
+          resolution) as ``(out, deep)`` with deep shaped (b, f, h, w, c).
+        - ``cached_deep=...``: shallow forward — compute only down blocks
+          ``[0, cache_depth)`` (the last one skips its downsampler, whose
+          output would only feed the skipped deeper levels), substitute
+          ``cached_deep`` for the skipped trunk, and run up blocks
+          ``[n_up - cache_depth, n_up)`` + head. By construction
+          ``shallow(x, deep) == full(x)`` bit-exactly when ``deep`` comes
+          from ``full(x, return_deep=True)`` (asserted in tests).
+
+        The reference has no counterpart (train/infer are always full
+        passes); this is a TPU-side opt-in engaged by
+        PipelineConfig.deep_cache_interval.
+        """
         cfg = self.config
         b, f, h, w, _ = sample.shape
         t_dim = cfg.time_embed_dim
@@ -261,15 +285,31 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 return cls
             return nn.remat(cls, static_argnums=())
 
+        # ---- DeepCache bookkeeping ----
+        n_up = len(cfg.up_block_types)
+        shallow = cached_deep is not None
+        if (shallow or return_deep) and not 1 <= cache_depth < n_up:
+            raise ValueError(f"cache_depth must be in [1, {n_up - 1}], "
+                             f"got {cache_depth}")
+        if shallow and return_deep:
+            raise ValueError("cached_deep and return_deep are exclusive")
+        deep = None
+
         # ---- down ----
         for i, block_type in enumerate(cfg.down_block_types):
+            if shallow and i >= cache_depth:
+                break
             is_final = i == len(cfg.down_block_types) - 1
+            # shallow pass: the LAST computed down block's downsample output
+            # would only feed the skipped deeper levels — elide it (its
+            # params simply go unread by this apply)
+            add_ds = (not is_final) and not (shallow and i == cache_depth - 1)
             if block_type == "CrossAttnDownBlockSpatioTemporal":
                 x, res = maybe_remat(CrossAttnDownBlockSpatioTemporal, i)(
                     cfg.block_out_channels[i], cfg.layers_per_block, f,
                     cfg.num_attention_heads[i],
                     transformer_layers=cfg.transformer_layers_per_block[i],
-                    add_downsample=not is_final, resnet_eps=cfg.resnet_eps,
+                    add_downsample=add_ds, resnet_eps=cfg.resnet_eps,
                     attn_impl=self.attn_impl, ff_chunk=cfg.ff_chunk_size,
                     use_tracklet=use_tracklet,
                     name=f"down_blocks_{i}", **common,
@@ -277,7 +317,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             elif block_type == "DownBlockSpatioTemporal":
                 x, res = maybe_remat(DownBlockSpatioTemporal, i)(
                     cfg.block_out_channels[i], cfg.layers_per_block, f,
-                    add_downsample=not is_final, resnet_eps=cfg.resnet_eps,
+                    add_downsample=add_ds, resnet_eps=cfg.resnet_eps,
                     name=f"down_blocks_{i}", **common,
                 )(x, emb_f, indicator)
             else:
@@ -285,13 +325,14 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             residuals.extend(res)
 
         # ---- mid ----
-        x = maybe_remat(UNetMidBlockSpatioTemporal)(
-            cfg.block_out_channels[-1], f, cfg.num_attention_heads[-1],
-            transformer_layers=cfg.transformer_layers_per_block[-1],
-            resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
-            ff_chunk=cfg.ff_chunk_size,
-            use_tracklet=use_tracklet, name="mid_block", **common,
-        )(x, emb_f, ehs_f, indicator, tracklet_tokens)
+        if not shallow:
+            x = maybe_remat(UNetMidBlockSpatioTemporal)(
+                cfg.block_out_channels[-1], f, cfg.num_attention_heads[-1],
+                transformer_layers=cfg.transformer_layers_per_block[-1],
+                resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
+                ff_chunk=cfg.ff_chunk_size,
+                use_tracklet=use_tracklet, name="mid_block", **common,
+            )(x, emb_f, ehs_f, indicator, tracklet_tokens)
 
         # ---- up ----
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -299,6 +340,12 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         rev_tlayers = list(reversed(cfg.transformer_layers_per_block))
         n_res_up = cfg.layers_per_block + 1
         for i, block_type in enumerate(cfg.up_block_types):
+            if shallow and i < n_up - cache_depth:
+                continue
+            if shallow and i == n_up - cache_depth:
+                # substitute the cached trunk for everything skipped above
+                x = cached_deep.astype(self.dtype).reshape(
+                    (b * f,) + cached_deep.shape[2:])
             is_final = i == len(cfg.up_block_types) - 1
             skips = tuple(residuals[-n_res_up:])
             residuals = residuals[:-n_res_up]
@@ -319,10 +366,15 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 )(x, skips, emb_f, indicator)
             else:
                 raise ValueError(f"unknown up block {block_type!r}")
+            if return_deep and i == n_up - cache_depth - 1:
+                deep = x   # the input the next (shallow-recomputed) block sees
 
         # ---- head ----
         from .blocks import GroupNormSiLU
         x = GroupNormSiLU(groups=32, eps=cfg.resnet_eps, name="conv_norm_out",
                           **common)(x)
         x = Conv3x3(cfg.out_channels, name="conv_out", **common)(x)
-        return x.reshape(b, f, h, w, cfg.out_channels)
+        out = x.reshape(b, f, h, w, cfg.out_channels)
+        if return_deep:
+            return out, deep.reshape((b, f) + deep.shape[1:])
+        return out

@@ -118,3 +118,31 @@ def test_decode_ragged_chunks_match_reference_semantics():
         np.testing.assert_allclose(
             np.asarray(out[:, start:start + chunk]),
             np.asarray(ref, np.float32), atol=1e-4, rtol=1e-4)
+
+
+def test_deep_cache_runs_and_interval1_is_exact(setup):
+    """DeepCache (PipelineConfig.deep_cache_interval): N=1 is the exact
+    default path; N=2 runs the mixed full/shallow scan, stays finite, and
+    drifts only mildly from exact (step 0 is always a full step). Also the
+    composition with the CFG cache (k=2, N=2) — the 4-way lax.switch —
+    must execute."""
+    import dataclasses
+
+    models, params, img = setup
+    cfg = PipelineConfig(height=32, width=32, num_frames=2,
+                         num_inference_steps=4, decode_chunk_size=2)
+    exact = generate(models, params, img, jax.random.PRNGKey(3), cfg)
+    n2 = generate(models, params, img, jax.random.PRNGKey(3),
+                  dataclasses.replace(cfg, deep_cache_interval=2))
+    assert n2.shape == exact.shape
+    assert bool(jnp.isfinite(n2).all())
+    diff = float(jnp.mean(jnp.abs(n2 - exact)))
+    assert 0.0 < diff < 0.5
+    both = generate(models, params, img, jax.random.PRNGKey(3),
+                    dataclasses.replace(cfg, deep_cache_interval=2,
+                                        uncond_reuse_interval=2))
+    assert bool(jnp.isfinite(both).all())
+    # N = num_steps degenerates to one full step + all-shallow: still finite
+    nall = generate(models, params, img, jax.random.PRNGKey(3),
+                    dataclasses.replace(cfg, deep_cache_interval=4))
+    assert bool(jnp.isfinite(nall).all())

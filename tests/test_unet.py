@@ -94,3 +94,73 @@ def test_grad_flows_to_temporal_params(unet_and_params):
                 if "temporal_transformer_block" in "/".join(
                     str(getattr(k, "key", k)) for k in path)]
     assert temporal and any(float(jnp.abs(g).max()) > 0 for g in temporal)
+
+
+def test_deep_cache_shallow_matches_full(unet_and_params):
+    """DeepCache contract (models/unet.py): the shallow pass seeded with the
+    deep feature from the SAME inputs reproduces the full forward exactly —
+    the two paths are the same computation graph split at the cache point."""
+    model, params = unet_and_params
+    sample, t, ehs, ids = _inputs()
+    full = model.apply({"params": params}, sample, t, ehs, ids)
+    out, deep = model.apply({"params": params}, sample, t, ehs, ids,
+                            return_deep=True, cache_depth=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-6)
+    assert deep.shape[:2] == (1, 2)
+    shallow = model.apply({"params": params}, sample, t, ehs, ids,
+                          cached_deep=deep, cache_depth=1)
+    np.testing.assert_allclose(np.asarray(shallow), np.asarray(full), atol=1e-6)
+
+
+def test_deep_cache_depths_four_level():
+    """Residual/skip bookkeeping at every cache depth of a 4-level UNet
+    (the real SVD topology, SURVEY.md §2.3): shallow(deep_d) == full for
+    d = 1, 2, 3 — in particular the partial down blocks must produce exactly
+    the skip tensors the retained up blocks pop."""
+    from svd_xtend_tpu.core.config import UNetConfig
+    cfg4 = UNetConfig(
+        sample_size=16,
+        block_out_channels=(32, 32, 64, 64),
+        down_block_types=("CrossAttnDownBlockSpatioTemporal",) * 3
+        + ("DownBlockSpatioTemporal",),
+        up_block_types=("UpBlockSpatioTemporal",)
+        + ("CrossAttnUpBlockSpatioTemporal",) * 3,
+        layers_per_block=2,
+        transformer_layers_per_block=(1, 1, 1, 1),
+        num_attention_heads=(1, 1, 2, 2),
+        cross_attention_dim=16,
+        addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=24,
+        num_frames=2,
+    )
+    model = UNetSpatioTemporalConditionModel(cfg4, dtype=jnp.float32)
+    b, f, h, w = 1, 2, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    sample = jax.random.normal(ks[0], (b, f, h, w, cfg4.in_channels))
+    ehs = jax.random.normal(ks[1], (b, 1, cfg4.cross_attention_dim))
+    ids = jax.random.normal(ks[2], (b, 3))
+    variables = model.init(ks[3], sample, jnp.zeros(()), ehs, ids)
+    params = variables["params"]
+    t = jnp.float32(0.9)
+    full = model.apply({"params": params}, sample, t, ehs, ids)
+    for depth in (1, 2, 3):
+        out, deep = model.apply({"params": params}, sample, t, ehs, ids,
+                                return_deep=True, cache_depth=depth)
+        # deep sits at the retained/skipped boundary: latent res / 2^(d-1),
+        # channels of the first skipped up block's output
+        assert deep.shape == (b, f, h >> (depth - 1), w >> (depth - 1),
+                              tuple(reversed(cfg4.block_out_channels))[
+                                  len(cfg4.up_block_types) - depth - 1])
+        shallow = model.apply({"params": params}, sample, t, ehs, ids,
+                              cached_deep=deep, cache_depth=depth)
+        np.testing.assert_allclose(np.asarray(shallow), np.asarray(full),
+                                   atol=1e-5, rtol=1e-5,
+                                   err_msg=f"cache_depth={depth}")
+
+
+def test_deep_cache_depth_validation(unet_and_params):
+    model, params = unet_and_params
+    sample, t, ehs, ids = _inputs()
+    with pytest.raises(ValueError, match="cache_depth"):
+        model.apply({"params": params}, sample, t, ehs, ids,
+                    return_deep=True, cache_depth=2)  # TINY has 2 levels
