@@ -40,6 +40,13 @@ def main():
                    help="blockwise-int8 Adam moments (the reference's "
                         "bitsandbytes option; REQUIRED for full-mode on one "
                         "16 GB chip: fp32 m/v for 1.5B params alone is 12 GB)")
+    p.add_argument("--offload", choices=["none", "masters", "masters+moments"],
+                   default="none",
+                   help="park the fp32 masters (and optionally the Adam "
+                        "moments) in TPU pinned_host memory "
+                        "(train/state.py:host_offload_state) — what makes "
+                        "single-chip full-FT fit a 16 GB v5e at a PCIe-"
+                        "streaming cost per step")
     args = p.parse_args()
 
     import os
@@ -99,7 +106,18 @@ def main():
     # memory_analysis: the step itself peaks ~11.5 GB incl. donation)
     del params
     import gc; gc.collect()
-    step = jax.jit(make_train_step(models, cfg, opt), donate_argnums=(0,))
+    jit_kw = {}
+    if args.offload != "none":
+        from svd_xtend_tpu.train.state import host_offload_state
+        state, out_state_shard = host_offload_state(state, args.offload)
+        if out_state_shard is not None:
+            from jax.sharding import SingleDeviceSharding
+            dev_s = SingleDeviceSharding(jax.devices()[0], memory_kind="device")
+            jit_kw["out_shardings"] = (out_state_shard,
+                                       {"loss": dev_s, "grad_norm": dev_s,
+                                        "lr": dev_s})
+    step = jax.jit(make_train_step(models, cfg, opt), donate_argnums=(0,),
+                   **jit_kw)
     batch = jax.random.uniform(jax.random.PRNGKey(2), (1, f, h, w, 3)) * 2 - 1
 
     if args.mem_only:
@@ -123,7 +141,8 @@ def main():
                            ma.generated_code_size_in_bytes / gb, 3),
                        "operating_point": f"{w}x{h}x{f}f bs1 {args.mode}",
                        "remat": args.remat,
-                       "grad_dtype": args.grad_dtype},
+                       "grad_dtype": args.grad_dtype,
+                       "offload": args.offload},
         }))
         return
 
@@ -167,6 +186,7 @@ def main():
         "detail": {"seconds_per_step": round(dt, 3),
                    "operating_point": f"{w}x{h}x{f}f bs1 {args.mode}",
                    "remat": args.remat, "grad_dtype": args.grad_dtype,
+                   "offload": args.offload,
                    "platform": "tpu" if on_tpu else "cpu-smoke"},
     }))
 

@@ -28,6 +28,10 @@ def main():
                     help="CFG-cache uncond_reuse_interval (1 = exact)")
     ap.add_argument("--quant", default=None,
                     help="unet/vae quant mode (e.g. int8)")
+    ap.add_argument("--deep", type=int, default=1,
+                    help="DeepCache deep_cache_interval (1 = exact)")
+    ap.add_argument("--deep-depth", type=int, default=1,
+                    help="DeepCache deep_cache_depth")
     args = ap.parse_args()
     if args.pallas_conv is not None:
         os.environ["SVDX_PALLAS_CONV"] = args.pallas_conv
@@ -50,7 +54,9 @@ def main():
     cfg = PipelineConfig(height=576, width=1024, num_frames=25,
                          num_inference_steps=25, decode_chunk_size=8,
                          uncond_reuse_interval=args.k,
-                         unet_quant=args.quant, vae_quant=args.quant)
+                         unet_quant=args.quant, vae_quant=args.quant,
+                         deep_cache_interval=args.deep,
+                         deep_cache_depth=args.deep_depth)
     rng = jax.random.PRNGKey(0)
     params = init_pipeline_params(models, rng)
     image = jax.random.uniform(jax.random.PRNGKey(1),
@@ -69,8 +75,11 @@ def main():
     dt = (time.perf_counter() - t0) / args.iters
     print(json.dumps({
         "metric": "img2vid_seconds_per_video_1024x576x25f",
-        "mode": ("exact" if args.k == 1 and not args.quant else
-                 f"k{args.k}" + (f"+{args.quant}" if args.quant else "")),
+        "mode": ("exact" if args.k == 1 and not args.quant and args.deep == 1
+                 else f"k{args.k}"
+                 + (f"+{args.quant}" if args.quant else "")
+                 + (f"+deepN{args.deep}d{args.deep_depth}"
+                    if args.deep > 1 else "")),
         "value": round(dt, 3),
         "frames_per_sec_per_chip": round(cfg.num_frames / dt, 3),
         "pallas_conv": os.environ.get("SVDX_PALLAS_CONV", "table"),

@@ -170,6 +170,59 @@ def cast_frozen_to_compute(state: TrainState, frozen: dict,
     return state, cast(frozen)
 
 
+# ---------------------------------------------------- host offload (TPU) ----
+
+def host_offload_state(state: TrainState, offload: str,
+                       device=None) -> Tuple[TrainState, Any]:
+    """Park optimizer-domain trees in TPU host memory (``pinned_host``).
+
+    The single-chip answer to full-FT's >16 GB device footprint (PERF.md
+    "Training throughput": fp32 masters 6.07 GB + grads + moments exceed a
+    16 GB v5e even with every on-device lever refuted). The fp32 MASTER
+    params carry no forward-pass role beyond a one-time bf16 cast and are
+    read/written once per step by the optimizer — classic offload targets;
+    XLA streams them per-buffer over PCIe around the step.
+
+    offload: "none" | "masters" (state.params) | "masters+moments"
+    (also the Adam m/v tree). Returns the state with those trees moved to
+    pinned_host plus an out-shardings pytree for the step's updated state
+    (donation then keeps each leaf in its memory space). The reference has
+    no counterpart (it trains full-FT on an 80 GB A100); bitsandbytes'
+    paged optimizers are the CUDA-world analog.
+    """
+    if offload == "none":
+        return state, None
+    if device is None:
+        device = jax.devices()[0]
+    from jax.sharding import SingleDeviceSharding
+    host = SingleDeviceSharding(device, memory_kind="pinned_host")
+    dev = SingleDeviceSharding(device, memory_kind="device")
+
+    def place(tree, shard):
+        return jax.tree.map(lambda x: jax.device_put(x, shard), tree)
+
+    state = state.replace(params=place(state.params, host))
+    if offload == "masters+moments":
+        state = state.replace(opt_state=place(state.opt_state, host))
+    elif offload != "masters":
+        raise ValueError(f"unknown offload mode {offload!r}")
+
+    def shard_like(tree, shard):
+        return jax.tree.map(lambda _: shard, tree)
+
+    out_shardings = TrainState(
+        step=dev, params=shard_like(state.params, host),
+        opt_state=shard_like(state.opt_state,
+                             host if offload == "masters+moments" else dev),
+        ema_params=(None if state.ema_params is None
+                    else shard_like(state.ema_params, dev)),
+        frozen_unet=(None if state.frozen_unet is None
+                     else shard_like(state.frozen_unet, dev)),
+        base_unet=(None if state.base_unet is None
+                   else shard_like(state.base_unet, dev)))
+    return state, out_shardings
+
+
 # ------------------------------------------------------------ train step ----
 
 def make_train_step(models: SVDModels, cfg: TrainConfig,

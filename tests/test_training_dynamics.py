@@ -116,3 +116,35 @@ def test_bf16_grad_dtype_accum(setup):
     abatch = jnp.stack([batch[0], batch[0] * 0.5])[:, None]
     state, m = step(state, abatch, jax.random.PRNGKey(9))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_host_offload_state_modes():
+    """host_offload_state (train/state.py): 'none' is identity; the sharding
+    tree mirrors the state structure; unknown modes raise. The pinned_host
+    placement itself is TPU-runtime-only (probed on-chip,
+    scripts/probe_host_offload.py) — on CPU we exercise mode handling and
+    the out-shardings tree construction against the real memory-kind API
+    where the platform exposes it."""
+    import jax
+    import jax.numpy as jnp
+
+    from svd_xtend_tpu.train.state import TrainState, host_offload_state
+
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params={"w": jnp.ones((4,))},
+                       opt_state={"m": jnp.zeros((4,))})
+    same, shard = host_offload_state(state, "none")
+    assert same is state and shard is None
+
+    try:
+        off, shard = host_offload_state(state, "masters",
+                                        device=jax.devices()[0])
+    except Exception:
+        pass  # platform without pinned_host support — acceptable on CPU
+    else:
+        assert shard.params["w"].memory_kind == "pinned_host"
+        assert shard.opt_state["m"].memory_kind == "device"
+
+    import pytest
+    with pytest.raises(ValueError, match="offload"):
+        host_offload_state(state, "hbm2")
