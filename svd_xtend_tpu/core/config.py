@@ -283,7 +283,12 @@ class TrainConfig(_JsonMixin):
     # top-level activations at 512x320x14f are ~3 GB bf16 PER TENSOR and
     # blow the 16 GB/chip HBM before the UNet even runs (the reference
     # encodes all frames at once on an 80 GB A100, train_svd.py:948).
-    # 0 = unchunked.
+    # 0 = unchunked. NOTE (ADVICE r4): chunked encode draws the posterior
+    # noise per chunk, so the training RNG draw ORDER differs from the
+    # unchunked (reference-matching) form — runs are reproducible at a
+    # fixed chunk size but not bit-comparable across chunk sizes. Set 0 on
+    # high-memory/multi-chip meshes to match the reference draw order; the
+    # default 8 is what fits one 16 GB chip at 512x320x14f (PERF.md).
     encode_chunk_size: int = 8
     # optimization
     learning_rate: float = 1e-4
@@ -342,7 +347,7 @@ class TrainConfig(_JsonMixin):
     report_to: str = "tensorboard"
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     # performance
-    remat_policy: str = "block"         # none|block|outer (models/unet.py)
+    remat_policy: str = "block"         # none|block|outer (models/unet.py); legacy 'full'≡'block'
     vae_encode_in_loop: bool = True     # False => latents precomputed by data pipeline
 
     @classmethod

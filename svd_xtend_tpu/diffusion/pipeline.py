@@ -380,10 +380,6 @@ def _generate(
                 def both_fresh():
                     return pair_full(latents, sigma)
 
-                def uncond_fresh_deep_stale():
-                    u, c = pair_shallow(latents, sigma, deep2)
-                    return u, c, deep2
-
                 def cond_only_deep_fresh():
                     c, deep_c = cond_half(latents, sigma,
                                           return_deep=True, cache_depth=d)
@@ -396,11 +392,17 @@ def _generate(
                                   cached_deep=deep_c, cache_depth=d)
                     return cached_uncond, c, deep2
 
+                # Uncond-refresh steps (i % k == 0) run the FULL pair even
+                # when i % n != 0: the uncond deep trunk otherwise only
+                # refreshes where both intervals coincide (up to lcm(k, n)
+                # steps stale — ADVICE r4), so its staleness would exceed the
+                # per-knob budgets measured individually. This bounds uncond
+                # trunk staleness at k and cond trunk staleness at n.
                 idx = ((i % k_reuse == 0).astype(jnp.int32) * 2
                        + (i % n_deep == 0).astype(jnp.int32))
                 u, c, deep2 = jax.lax.switch(
                     idx, [cond_only_deep_stale, cond_only_deep_fresh,
-                          uncond_fresh_deep_stale, both_fresh])
+                          both_fresh, both_fresh])
                 nxt = euler(latents, u, c, sigma, sigma_next)
                 return (nxt, u, deep2), None
 

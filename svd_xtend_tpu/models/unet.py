@@ -273,7 +273,10 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         x = Conv3x3(cfg.block_out_channels[0], name="conv_in", **common)(x)
         residuals = [x]
 
-        remat_mode = {True: "block", False: "none"}.get(self.remat, self.remat)
+        # bool forms + legacy 'full' (pre-r4 configs documented none|block|full;
+        # 'full' meant "remat every block", i.e. today's 'block')
+        remat_mode = {True: "block", False: "none",
+                      "full": "block"}.get(self.remat, self.remat)
         if remat_mode not in ("none", "block", "outer"):
             raise ValueError(f"unknown remat mode {self.remat!r}")
 

@@ -33,6 +33,7 @@ from flax import struct
 from ..core.config import TrainConfig
 from ..diffusion.pipeline import SVDModels
 from ..diffusion.training import training_loss
+from .optim import global_norm_f32
 from ..models import lora as lora_lib
 
 Array = jax.Array
@@ -302,7 +303,7 @@ def make_train_step(models: SVDModels, cfg: TrainConfig,
             ema = ema_update(ema, params, step, cfg.ema_decay)
         metrics = {
             "loss": loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": global_norm_f32(grads),
             "lr": jnp.asarray(0.0),  # filled by caller from schedule if needed
         }
         return state.replace(step=step, params=params, opt_state=opt_state,

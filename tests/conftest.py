@@ -34,3 +34,24 @@ assert jax.devices()[0].platform == "cpu", (
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-minute tests (full-width parity oracles)")
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """One-shot-suite stability (VERDICT r4 weak #2): after ~180 tests the
+    process holds hundreds of live compiled executables, and the next
+    persistent-cache READ (backend.deserialize_executable) SIGABRTs inside
+    XLA — per-file runs always passed, so the cache entries themselves are
+    fine; the abort tracks accumulated in-process executable state. Dropping
+    JAX's executable/trace caches between modules keeps the live set small;
+    re-compiles within a later module are persistent-cache deserializes
+    (~fast), not real compiles.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
