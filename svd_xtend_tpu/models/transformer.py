@@ -197,6 +197,108 @@ class FeedForward(nn.Module):
         return jnp.moveaxis(out, 0, -3).reshape(x.shape)
 
 
+class _DenseParams(nn.Module):
+    """Declares QDense's exact param tree (kernel/bias, lecun_normal/zeros)
+    without computing — the fused-FF path reads raw weights while keeping
+    checkpoint paths and initializer draws identical to the module path."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm's param tree (scale ones / bias zeros), params only."""
+
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: int):
+        s = self.param("scale", nn.initializers.ones, (features,),
+                       self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (features,),
+                       self.param_dtype)
+        return s, b
+
+
+class ResidualGEGLU(nn.Module):
+    """x + FeedForward(LayerNorm(x)) with a fused Pallas fast path.
+
+    The pre-LN residual GEGLU blocks dominate the UNet step's matmul tail
+    (PERF.md session-12: ~22 ms "net_2 family"); ops/pallas/geglu.py runs
+    LN → net_0_proj → gelu-gate → net_2 → +residual in ONE pallas_call so
+    the 8C inner activation never reaches HBM and the LN/residual neighbors
+    ride inside the kernel instead of dying at its fusion boundary.
+
+    Share-scoped into the calling block, with child names `ln_name`/`ff_name`
+    — the param tree is byte-identical to the unfused LayerNorm+FeedForward
+    pair (checkpoints, LoRA targeting and sharding rules unaffected). The
+    fused path engages on TPU only, never under int8 quant mode (QDense's
+    measured int8 tables own that regime) or forward chunking.
+    """
+
+    dim: int
+    ln_name: str
+    ff_name: str
+    mult: int = 4
+    ff_chunk: int = 0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from ..ops import quant
+        from ..ops.pallas import geglu as gg
+        t = 1
+        for d in x.shape[:-1]:
+            t *= d
+        use = (((jax.default_backend() == "tpu" and gg.enabled())
+                or gg.force())
+               and self.ff_chunk <= 0 and quant.get_mode() != "int8"
+               and gg.supports(t, self.dim, self.mult))
+        if not use:
+            ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name=self.ln_name)
+            ff = FeedForward(self.dim, mult=self.mult,
+                             chunk_size=self.ff_chunk, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name=self.ff_name)
+            return x + ff(ln(x))
+        ls, lb = _LNParams(param_dtype=self.param_dtype,
+                           name=self.ln_name)(self.dim)
+        inner = self.dim * self.mult
+        ffp = _FFParams(self.dim, self.mult, param_dtype=self.param_dtype,
+                        name=self.ff_name)
+        w1, b1, w2, b2 = ffp(self.dim)
+        dt = self.dtype
+        return gg.ln_geglu_residual(
+            x.astype(dt), ls.astype(dt), lb.astype(dt), w1.astype(dt),
+            b1.astype(dt), w2.astype(dt), b2.astype(dt))
+
+
+class _FFParams(nn.Module):
+    """FeedForward's param tree (net_0_proj / net_2), params only."""
+
+    dim: int
+    mult: int = 4
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        inner = self.dim * self.mult
+        w1, b1 = _DenseParams(inner * 2, param_dtype=self.param_dtype,
+                              name="net_0_proj")(in_features)
+        w2, b2 = _DenseParams(self.dim, param_dtype=self.param_dtype,
+                              name="net_2")(inner)
+        return w1, b1, w2, b2
+
+
 class BasicTransformerBlock(nn.Module):
     """Pre-LN: self-attn, cross-attn, GEGLU FF — the spatial block."""
 
@@ -216,9 +318,11 @@ class BasicTransformerBlock(nn.Module):
                                       param_dtype=self.param_dtype, name=name)
         x = x + attn("attn1")(ln("norm1")(x))
         x = x + attn("attn2")(ln("norm2")(x), context)
-        x = x + FeedForward(x.shape[-1], chunk_size=self.ff_chunk, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="ff")(ln("norm3")(x))
-        return x
+        rg = ResidualGEGLU(x.shape[-1], ln_name="norm3", ff_name="ff",
+                           ff_chunk=self.ff_chunk, dtype=self.dtype,
+                           param_dtype=self.param_dtype)
+        nn.share_scope(self, rg)
+        return rg(x)
 
 
 class FrameAxisAttention(nn.Module):
@@ -349,13 +453,17 @@ class TemporalBasicTransformerBlock(nn.Module):
         attn = lambda name: FrameAxisAttention(
             self.num_heads, self.head_dim, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
-        ff = lambda name: FeedForward(x.shape[-1], chunk_size=self.ff_chunk,
-                                      dtype=self.dtype,
-                                      param_dtype=self.param_dtype, name=name)
-        x = x + ff("ff_in")(ln("norm_in")(x))
+        def rgeglu(ln_name, ff_name, h):
+            rg = ResidualGEGLU(h.shape[-1], ln_name=ln_name, ff_name=ff_name,
+                               ff_chunk=self.ff_chunk, dtype=self.dtype,
+                               param_dtype=self.param_dtype)
+            nn.share_scope(self, rg)
+            return rg(h)
+
+        x = rgeglu("norm_in", "ff_in", x)
         x = x + attn("attn1")(ln("norm1")(x))
         x = x + attn("attn2")(ln("norm2")(x), context)
-        x = x + ff("ff")(ln("norm3")(x))
+        x = rgeglu("norm3", "ff", x)
         return x
 
 
