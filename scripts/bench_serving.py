@@ -31,11 +31,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--k", type=int, default=1,
+                    help="CFG-cache uncond_reuse_interval arm")
+    ap.add_argument("--quant", default=None, choices=[None, "int8"],
+                    help="unet/vae quant arm")
     args = ap.parse_args()
 
     models = SVDModels(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     cfg = PipelineConfig(height=320, width=512, num_frames=14,
-                         num_inference_steps=25, decode_chunk_size=8)
+                         num_inference_steps=25, decode_chunk_size=8,
+                         uncond_reuse_interval=args.k,
+                         unet_quant=args.quant, vae_quant=args.quant)
     params = init_pipeline_params(models, jax.random.PRNGKey(0))
 
     results = []
@@ -56,7 +62,8 @@ def main():
         results.append({"batch": b, "seconds": round(dt, 3),
                         "frames_per_sec_per_chip": round(fps, 3)})
         print(json.dumps(results[-1]))
-    print(json.dumps({"metric": "serving_sweep", "results": results}))
+    print(json.dumps({"metric": "serving_sweep", "k": args.k,
+                      "quant": args.quant, "results": results}))
 
 
 if __name__ == "__main__":

@@ -89,6 +89,14 @@ def build(args):
         ("deep_n2_int8_cfg_k3", dataclasses.replace(
             base, deep_cache_interval=2, uncond_reuse_interval=3,
             unet_quant="int8", vae_quant="int8")),
+        # n=k=3 aligns the two caches: i%3==0 steps run the full pair, all
+        # other steps are cond-half shallow — the cheapest schedule per
+        # step of full-pair refresh (r5; deep staleness == uncond staleness)
+        ("deep_n3_cfg_k3", dataclasses.replace(base, deep_cache_interval=3,
+                                               uncond_reuse_interval=3)),
+        ("deep_n3_int8_cfg_k3", dataclasses.replace(
+            base, deep_cache_interval=3, uncond_reuse_interval=3,
+            unet_quant="int8", vae_quant="int8")),
     ]
     if args.only:
         keep = set(args.only.split(","))

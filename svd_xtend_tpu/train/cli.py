@@ -59,6 +59,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     # <video>/boxes.npz annotations (boxes (T,N,4) normalized xyxy [+ mask])
     p.add_argument("--tracklet_dim", type=int, default=1024,
                    help="box-token width (used when --train_mode tracklet)")
+    p.add_argument("--tracklet_dim_full", action="store_true",
+                   help="with --train_mode full: also build + train the "
+                        "tracklet branch at --tracklet_dim")
     p.add_argument("--max_boxes", type=int, default=16,
                    help="per-frame box slots (padding/truncation)")
     # optimization
@@ -137,7 +140,15 @@ def build_train_config(args) -> TrainConfig:
         zero1=args.zero1, grad_dtype=args.grad_dtype,
         conditioning_dropout_prob=args.conditioning_dropout_prob,
         train_mode=args.train_mode, lora_rank=args.rank, lora_alpha=args.rank,
-        tracklet_dim=args.tracklet_dim if args.train_mode == "tracklet" else 0,
+        # 'tracklet' trains the branch alone (frozen backbone); 'full' may
+        # ALSO carry the branch (--tracklet_dim > 0 explicitly) so box
+        # conditioning can be learned jointly with the backbone — the
+        # scripts/eval_tracklet.py overfit protocol uses this
+        tracklet_dim=(args.tracklet_dim
+                      if args.train_mode == "tracklet"
+                      else (args.tracklet_dim
+                            if args.train_mode == "full"
+                            and args.tracklet_dim_full else 0)),
         max_boxes=args.max_boxes,
         use_ema=args.use_ema, mixed_precision=args.mixed_precision,
         output_dir=args.output_dir, checkpointing_steps=args.checkpointing_steps,
@@ -370,9 +381,11 @@ def main(argv=None):
         if cfg.train_mode == "lora":
             ckpt_lib.export_lora_diffusers(jax.device_get(state.params),
                                            cfg.output_dir)
-        if cfg.train_mode == "tracklet":
+        if cfg.tracklet_dim > 0:
             # LoRA-like exchange artifact: just the trained box branch (the
-            # diffusers export above excludes it — no torch counterpart)
+            # diffusers export above excludes it — no torch counterpart);
+            # written for ANY mode that carries the branch (tracklet, or
+            # full + --tracklet_dim_full)
             from ..io import convert
             convert.save_safetensors(
                 os.path.join(cfg.output_dir, "tracklet_weights.safetensors"),
