@@ -119,14 +119,17 @@ def run_bench():
                 cfg.num_frames / dt8, 3)
         except Exception as e:
             detail_extra["int8_error"] = f"{type(e).__name__}: {e}"[:200]
-        # fastest defensible mode: int8 + CFG-cache k3 composed — measured
-        # error budget in eval_approx_r4.json (33.45 dB vs exact, i.e. k3's
-        # own CFG-lag; int8 adds none on top)
+        # fastest defensible mode: DeepCache n3 + int8 + CFG-cache k3
+        # composed — measured error budget in eval_approx_r5.json (32.45 dB
+        # vs exact ≈ the k3 CFG-lag class; DeepCache n3 and int8 add <1 dB
+        # on top). This is the mode that crosses the ≥5.6 f/s/chip north
+        # star (6.06 f/s measured, r5).
         try:
             import dataclasses
             cfg83 = dataclasses.replace(cfg, unet_quant="int8",
                                         vae_quant="int8",
-                                        uncond_reuse_interval=3)
+                                        uncond_reuse_interval=3,
+                                        deep_cache_interval=3)
             def run83(key):
                 out = generate(models, params, image, key, cfg83)
                 return float(jax.device_get(jnp.sum(out.astype(jnp.float32))))
@@ -135,10 +138,11 @@ def run_bench():
             for i in range(n_iters):
                 run83(jax.random.PRNGKey(i))
             dt83 = (time.perf_counter() - t0) / n_iters
-            detail_extra["frames_per_sec_int8_cfg_k3"] = round(
+            detail_extra["frames_per_sec_deep_n3_int8_cfg_k3"] = round(
                 cfg.num_frames / dt83, 3)
         except Exception as e:
-            detail_extra["int8_cfg_k3_error"] = f"{type(e).__name__}: {e}"[:200]
+            detail_extra["deep_n3_int8_cfg_k3_error"] = (
+                f"{type(e).__name__}: {e}"[:200])
 
     return {
         "metric": "img2vid_frames_per_sec_per_chip",

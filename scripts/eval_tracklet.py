@@ -37,15 +37,21 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE CPU: the axon sitecustomize exports JAX_PLATFORMS=axon, so a
+# setdefault would silently route this tiny-model experiment through the
+# remote TPU relay (round-trip-bound AND contending with relay benchmarks)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 H = W = 32
 SQ = 10           # square side in pixels
