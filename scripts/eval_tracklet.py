@@ -59,15 +59,23 @@ FRAMES = 4        # frames per training sample == generated frames
 
 
 def _traj_boxes(kind: str) -> np.ndarray:
-    """(FRAMES, 4) normalized xyxy along a named straight-line trajectory."""
+    """(FRAMES, 4) normalized xyxy along a named straight-line trajectory.
+
+    EVERY lane starts at the image center, so every video shares the SAME
+    first frame — the conditioning image carries zero information about the
+    motion direction and the boxes are the only disambiguator for every
+    training sample (maximizes the box-usage gradient; the r5 v1 design had
+    only 2 of 4 train lanes ambiguous and the optimizer learned to suppress
+    the obj-token attention instead)."""
+    c0 = ((W - SQ) // 2, (H - SQ) // 2)
     lanes = {
-        # (x0, y0) -> (x1, y1) of the square's top-left corner, in pixels
-        "right_top": ((2, 2), (W - SQ - 2, 2)),
-        "down_left": ((2, 2), (2, H - SQ - 2)),
-        "diag": ((2, 2), (W - SQ - 2, H - SQ - 2)),
-        "left_bot": ((W - SQ - 2, H - SQ - 2), (2, H - SQ - 2)),
-        "up_right": ((W - SQ - 2, H - SQ - 2), (W - SQ - 2, 2)),
-        "antidiag": ((W - SQ - 2, 2), (2, H - SQ - 2)),
+        # center -> (x1, y1) of the square's top-left corner, in pixels
+        "right": (c0, (W - SQ - 2, c0[1])),
+        "left": (c0, (2, c0[1])),
+        "down": (c0, (c0[0], H - SQ - 2)),
+        "up": (c0, (c0[0], 2)),
+        "diag": (c0, (W - SQ - 2, H - SQ - 2)),
+        "antidiag": (c0, (2, 2)),
     }
     (x0, y0), (x1, y1) = lanes[kind]
     out = np.zeros((FRAMES, 4), np.float32)
@@ -108,9 +116,13 @@ def build_dataset(root: str, train_kinds, seed=0):
 
 
 def train(data_root: str, out_dir: str, steps: int, lr: float, dim: int,
-          mode: str = "full"):
+          mode: str = "full", gate_init: float = 0.0):
     from svd_xtend_tpu.train import cli
     argv = [
+        "--tracklet_gate_init", str(gate_init),
+        # no decoupled weight decay: with near-zero early gradient through
+        # the gates, AdamW's decay is pure shrinkage pressure on the branch
+        "--adam_weight_decay", "0.0",
         "--base_folder", data_root, "--tiny_model",
         "--width", str(W), "--height", str(H), "--num_frames", str(FRAMES),
         "--train_mode", mode, "--tracklet_dim", str(dim),
@@ -181,6 +193,13 @@ def main():
     ap.add_argument("--mode", default="full", choices=["full", "tracklet"],
                     help="'full' = joint backbone+branch overfit (default); "
                          "'tracklet' = branch-only on the frozen backbone")
+    ap.add_argument("--gate_init", type=float, default=0.5,
+                    help="warm GLIGEN gate init for the joint from-scratch "
+                         "overfit (0.0 = the pretrained-backbone contract; "
+                         "measured r5: zero gates on a RANDOM tiny backbone "
+                         "collapse into ignoring the box tokens — the "
+                         "optimizer suppresses obj attention before the "
+                         "gates open)")
     ap.add_argument("--infer_steps", type=int, default=8)
     ap.add_argument("--out", default=None)
     ap.add_argument("--workdir", default=None)
@@ -191,15 +210,17 @@ def main():
     run_dir = os.path.join(work, "run")
     os.makedirs(data_root, exist_ok=True)
 
-    # all six lanes share one background + first-frame-adjacent starts; the
-    # four TRAIN lanes cover distinct directions, two lanes are held out
-    train_kinds = ["right_top", "down_left", "left_bot", "up_right"]
+    # all six lanes share one background AND one first frame (center start);
+    # the four TRAIN lanes cover the axis directions, the two diagonal
+    # lanes are held out
+    train_kinds = ["right", "left", "down", "up"]
     held_out = ["diag", "antidiag"]
     build_dataset(data_root, train_kinds)
 
     print(f"training {args.steps} steps (tiny model, CPU, mode="
           f"{args.mode})...", flush=True)
-    train(data_root, run_dir, args.steps, args.lr, args.dim, args.mode)
+    train(data_root, run_dir, args.steps, args.lr, args.dim, args.mode,
+          args.gate_init)
 
     models, params = load_models_and_params(run_dir, args.dim)
     from svd_xtend_tpu.core.config import PipelineConfig
@@ -220,8 +241,8 @@ def main():
         btrue = jnp.asarray(boxes)[None, :, None, :]          # (1,F,1,4)
         mask1 = jnp.ones((1, FRAMES, 1), jnp.float32)
         # wrong boxes: a max-distance other lane
-        wrong_kind = {"right_top": "down_left", "down_left": "right_top",
-                      "left_bot": "up_right", "up_right": "left_bot",
+        wrong_kind = {"right": "left", "left": "right",
+                      "down": "up", "up": "down",
                       "diag": "antidiag", "antidiag": "diag"}[kind]
         bwrong = jnp.asarray(_traj_boxes(wrong_kind))[None, :, None, :]
 
@@ -256,7 +277,7 @@ def main():
 
     summary = {
         "steps": args.steps, "lr": args.lr, "dim": args.dim,
-        "mode": args.mode,
+        "mode": args.mode, "gate_init": args.gate_init,
         "train_inside_frac": {s: _mean(s, False)
                               for s in ("true", "null", "wrong")},
         "held_out_inside_frac": {s: _mean(s, True)

@@ -83,6 +83,13 @@ class UNetConfig(_JsonMixin):
     # Tracklet2Video (bbox-conditioned) branch: 0 disables (README.md:57-70)
     tracklet_dim: int = 0
     tracklet_heads: int = 8
+    # gate init for the GLIGEN-style injections: 0.0 = exact no-op at init
+    # (the Boximator contract — safe on a pretrained backbone). A small
+    # warm value (e.g. 0.5) escapes the zero-gate cold start when training
+    # the branch jointly with a NON-pretrained backbone, where the
+    # optimizer otherwise learns to ignore the box tokens before the gates
+    # open (measured: scripts/eval_tracklet.py, r5)
+    tracklet_gate_init: float = 0.0
 
     def __post_init__(self):
         # constructor guardrails (reference src/unet_spatio_temporal_condition.py:102-125
@@ -317,6 +324,7 @@ class TrainConfig(_JsonMixin):
     # Tracklet2Video finetuning ('tracklet' mode trains only the box branch:
     # tokenizer + instance enhancer + zero-gated injections)
     tracklet_dim: int = 0               # >0 enables the UNet box branch
+    tracklet_gate_init: float = 0.0     # UNetConfig.tracklet_gate_init passthrough
     max_boxes: int = 16                 # per-frame box slots (dataset padding)
     # EMA
     use_ema: bool = False

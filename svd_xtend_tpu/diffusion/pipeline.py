@@ -73,7 +73,8 @@ class SVDModels:
                 f"height/width must be divisible by {unet_div} "
                 f"(VAE {ds}x downsample x UNet levels); got {width}x{height}")
 
-    def with_tracklet(self, dim: int, heads: int = None) -> "SVDModels":
+    def with_tracklet(self, dim: int, heads: int = None,
+                      gate_init: float = None) -> "SVDModels":
         """This bundle with the Tracklet2Video UNet branch enabled — the one
         spelling every entry point (train CLI, examples, benches) uses, so
         train and inference configs can't diverge."""
@@ -81,6 +82,8 @@ class SVDModels:
         kw = {"tracklet_dim": dim}
         if heads is not None:
             kw["tracklet_heads"] = heads
+        if gate_init is not None:
+            kw["tracklet_gate_init"] = gate_init
         return dataclasses.replace(
             self, unet_config=dataclasses.replace(self.unet_config, **kw))
 

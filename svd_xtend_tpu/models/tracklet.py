@@ -106,6 +106,10 @@ class GatedSelfAttention(nn.Module):
 
     num_heads: int
     head_dim: int
+    # 0.0 = exact no-op at init (safe on a pretrained backbone); a warm
+    # value escapes the zero-gate cold start when the backbone is trained
+    # jointly from scratch (UNetConfig.tracklet_gate_init rationale)
+    gate_init: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -116,10 +120,9 @@ class GatedSelfAttention(nn.Module):
         inner = self.num_heads * self.head_dim
         objs = nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="obj_proj")(objs)
-        gamma_attn = self.param("alpha_attn", nn.initializers.zeros, (1,),
-                                self.param_dtype)
-        gamma_ff = self.param("alpha_dense", nn.initializers.zeros, (1,),
-                              self.param_dtype)
+        gate = nn.initializers.constant(self.gate_init)
+        gamma_attn = self.param("alpha_attn", gate, (1,), self.param_dtype)
+        gamma_ff = self.param("alpha_dense", gate, (1,), self.param_dtype)
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                        param_dtype=self.param_dtype, name=name)
         dense = lambda feat, name: nn.Dense(feat, dtype=self.dtype,

@@ -482,6 +482,7 @@ class TransformerSpatioTemporalModel(nn.Module):
     attn_impl: str = "auto"
     ff_chunk: int = 0
     use_tracklet: bool = False
+    tracklet_gate_init: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -532,7 +533,8 @@ class TransformerSpatioTemporalModel(nn.Module):
             if self.use_tracklet and tracklet_tokens is not None:
                 from .tracklet import GatedSelfAttention
                 tokens = GatedSelfAttention(
-                    self.num_heads, self.head_dim, dtype=self.dtype,
+                    self.num_heads, self.head_dim,
+                    gate_init=self.tracklet_gate_init, dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"gated_attentions_{i}",
                 )(tokens, tracklet_tokens)
             mix = (tokens + emb).reshape(b, f, h * w, inner)  # free reshape

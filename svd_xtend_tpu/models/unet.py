@@ -63,6 +63,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     attn_impl: str = "auto"
     ff_chunk: int = 0
     use_tracklet: bool = False
+    tracklet_gate_init: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -80,6 +81,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,
                 ff_chunk=self.ff_chunk, use_tracklet=self.use_tracklet,
+                tracklet_gate_init=self.tracklet_gate_init,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
             )(x, ehs, indicator, tracklet_tokens)
             residuals.append(x)
@@ -100,6 +102,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
     attn_impl: str = "auto"
     ff_chunk: int = 0
     use_tracklet: bool = False
+    tracklet_gate_init: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -116,6 +119,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,
                 ff_chunk=self.ff_chunk, use_tracklet=self.use_tracklet,
+                tracklet_gate_init=self.tracklet_gate_init,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
             )(x, ehs, indicator, tracklet_tokens)
             x = res(i + 1)(x, temb, indicator)
@@ -159,6 +163,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     attn_impl: str = "auto"
     ff_chunk: int = 0
     use_tracklet: bool = False
+    tracklet_gate_init: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -176,6 +181,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
                 self.num_heads, head_dim, num_layers=self.transformer_layers,
                 num_frames=self.num_frames, attn_impl=self.attn_impl,
                 ff_chunk=self.ff_chunk, use_tracklet=self.use_tracklet,
+                tracklet_gate_init=self.tracklet_gate_init,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"attentions_{i}",
             )(x, ehs, indicator, tracklet_tokens)
         if self.add_upsample:
@@ -315,6 +321,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     add_downsample=add_ds, resnet_eps=cfg.resnet_eps,
                     attn_impl=self.attn_impl, ff_chunk=cfg.ff_chunk_size,
                     use_tracklet=use_tracklet,
+                    tracklet_gate_init=cfg.tracklet_gate_init,
                     name=f"down_blocks_{i}", **common,
                 )(x, emb_f, ehs_f, indicator, tracklet_tokens)
             elif block_type == "DownBlockSpatioTemporal":
@@ -334,7 +341,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 transformer_layers=cfg.transformer_layers_per_block[-1],
                 resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
                 ff_chunk=cfg.ff_chunk_size,
-                use_tracklet=use_tracklet, name="mid_block", **common,
+                use_tracklet=use_tracklet,
+                tracklet_gate_init=cfg.tracklet_gate_init, name="mid_block", **common,
             )(x, emb_f, ehs_f, indicator, tracklet_tokens)
 
         # ---- up ----
@@ -359,7 +367,9 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     transformer_layers=rev_tlayers[i], add_upsample=not is_final,
                     resnet_eps=cfg.resnet_eps, attn_impl=self.attn_impl,
                     ff_chunk=cfg.ff_chunk_size,
-                    use_tracklet=use_tracklet, name=f"up_blocks_{i}", **common,
+                    use_tracklet=use_tracklet,
+                    tracklet_gate_init=cfg.tracklet_gate_init,
+                    name=f"up_blocks_{i}", **common,
                 )(x, skips, emb_f, ehs_f, indicator, tracklet_tokens)
             elif block_type == "UpBlockSpatioTemporal":
                 x = maybe_remat(UpBlockSpatioTemporal,

@@ -54,12 +54,14 @@ def _interpret() -> bool:
 
 
 def enabled() -> bool:
-    # Default OFF until on-chip validation (scripts/microbench_geglu.py
-    # smallest-shape-first, then the UNet-step interleaved A/B via
-    # scripts/ab_env.py --env SVDX_PALLAS_GEGLU) decides the default —
-    # the session-4 rule: isolated wins do not set dispatch defaults.
-    # "force" additionally engages it off-TPU (interpret mode, for tests).
-    return os.environ.get("SVDX_PALLAS_GEGLU", "0") in ("1", "force")
+    # Default ON (r5): v5e microbench 1.38x at the L0 family
+    # (scripts/microbench_geglu.py — losing classes gated out in
+    # `supports`), UNet-step interleaved A/B 194.8/196.0 vs 197.1/199.5 ms
+    # = 1.011-1.017x with consistent ordering across ABAB rounds
+    # (scripts/ab_env.py --env SVDX_PALLAS_GEGLU, 2026-08-21).
+    # SVDX_PALLAS_GEGLU=0 is the kill switch; "force" additionally engages
+    # it off-TPU (interpret mode, for tests).
+    return os.environ.get("SVDX_PALLAS_GEGLU", "1") in ("1", "force")
 
 
 def force() -> bool:
@@ -95,10 +97,23 @@ def _choose_blocks(t: int, c: int, mult: int):
 
 
 def supports(t: int, c: int, mult: int = 4) -> bool:
+    """Shape gate: structurally tileable AND in the measured-winning class.
+
+    v5e microbench (scripts/microbench_geglu.py, 2026-08-21): the kernel
+    wins only where the token count amortizes the weight streaming and the
+    XLA GEMMs run below par — the L0 family (T 71680, C 320): 1.38x.
+    C=640 T=17920 measures a wash (0.98x) and the deep-channel small-T
+    sites LOSE (C=1280: 0.67-0.94x — weights re-stream per token tile).
+    Off-TPU ("force", tests) the structural gate alone applies.
+    """
     if t % 8 or c % 8:
         return False
     bt, bi = _choose_blocks(t, c, mult)
-    return bt > 0
+    if bt <= 0:
+        return False
+    if force():
+        return True
+    return c <= 320 and t >= 16384
 
 
 def _kernel(x_ref, ls_ref, lb_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref,

@@ -62,6 +62,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--tracklet_dim_full", action="store_true",
                    help="with --train_mode full: also build + train the "
                         "tracklet branch at --tracklet_dim")
+    p.add_argument("--tracklet_gate_init", type=float, default=0.0,
+                   help="GLIGEN gate init (0 = exact no-op at init; warm "
+                        ">0 for joint from-scratch training)")
     p.add_argument("--max_boxes", type=int, default=16,
                    help="per-frame box slots (padding/truncation)")
     # optimization
@@ -149,6 +152,7 @@ def build_train_config(args) -> TrainConfig:
                       else (args.tracklet_dim
                             if args.train_mode == "full"
                             and args.tracklet_dim_full else 0)),
+        tracklet_gate_init=args.tracklet_gate_init,
         max_boxes=args.max_boxes,
         use_ema=args.use_ema, mixed_precision=args.mixed_precision,
         output_dir=args.output_dir, checkpointing_steps=args.checkpointing_steps,
@@ -259,7 +263,8 @@ def main(argv=None):
     else:
         models = SVDModels(dtype=dtype, attn_impl=args.attn_impl)
     if cfg.tracklet_dim > 0:
-        models = models.with_tracklet(cfg.tracklet_dim)
+        models = models.with_tracklet(cfg.tracklet_dim,
+                                      gate_init=cfg.tracklet_gate_init)
 
     rng = jax.random.PRNGKey(cfg.seed)
     params = load_or_init_params(models, args, rng)
