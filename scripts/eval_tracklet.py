@@ -116,10 +116,12 @@ def build_dataset(root: str, train_kinds, seed=0):
 
 
 def train(data_root: str, out_dir: str, steps: int, lr: float, dim: int,
-          mode: str = "full", gate_init: float = 0.0):
+          mode: str = "full", gate_init: float = 0.0, batch: int = 1,
+          pretrain_unet: str = ""):
     from svd_xtend_tpu.train import cli
     argv = [
         "--tracklet_gate_init", str(gate_init),
+        "--per_device_batch_size", str(batch),
         # no decoupled weight decay: with near-zero early gradient through
         # the gates, AdamW's decay is pure shrinkage pressure on the branch
         "--adam_weight_decay", "0.0",
@@ -139,6 +141,8 @@ def train(data_root: str, out_dir: str, steps: int, lr: float, dim: int,
         # can USE box conditioning", and the train lanes sharing one first
         # frame are only separable through the boxes
         argv.append("--tracklet_dim_full")
+    if pretrain_unet:
+        argv += ["--pretrain_unet", pretrain_unet]
     cli.main(argv)
 
 
@@ -201,8 +205,24 @@ def main():
                          "optimizer suppresses obj attention before the "
                          "gates open)")
     ap.add_argument("--infer_steps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=2,
+                    help="training batch size (SGD-noise lever: the box-"
+                         "usage gradient is 4th-decimal at init and drowns "
+                         "in the EDM sigma-sampling variance at bs=1)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse an existing --workdir run (eval iteration)")
+    ap.add_argument("--two_phase", action="store_true",
+                    help="phase 1: overfit the BACKBONE without the branch "
+                         "(it converges to the ambiguous-average motion); "
+                         "phase 2: freeze it (tracklet scope) and train the "
+                         "warm-gated branch from --pretrain_unet. This is "
+                         "the GLIGEN setting (pretrained backbone) — joint "
+                         "from-scratch training measurably suppresses the "
+                         "obj attention instead (r5 refutation ladder)")
+    ap.add_argument("--steps1", type=int, default=6000,
+                    help="phase-1 backbone steps (--two_phase)")
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix="tracklet_eval_")
@@ -217,10 +237,44 @@ def main():
     held_out = ["diag", "antidiag"]
     build_dataset(data_root, train_kinds)
 
-    print(f"training {args.steps} steps (tiny model, CPU, mode="
-          f"{args.mode})...", flush=True)
-    train(data_root, run_dir, args.steps, args.lr, args.dim, args.mode,
-          args.gate_init)
+    if not (args.skip_train
+            and os.path.exists(os.path.join(run_dir,
+                                            "tracklet_weights.safetensors"))):
+        if args.two_phase:
+            base_dir = os.path.join(work, "base")
+            if not (args.skip_train
+                    and os.path.exists(os.path.join(base_dir, "unet"))):
+                print(f"phase 1: {args.steps1} backbone-only steps...",
+                      flush=True)
+                # plain 'full' mode WITHOUT the branch (no box conditioning)
+                from svd_xtend_tpu.train import cli
+                cli.main([
+                    "--base_folder", data_root, "--tiny_model",
+                    "--width", str(W), "--height", str(H),
+                    "--num_frames", str(FRAMES), "--train_mode", "full",
+                    "--per_device_batch_size", str(args.batch),
+                    "--adam_weight_decay", "0.0",
+                    "--max_boxes", "1",
+                    "--learning_rate", str(args.lr),
+                    "--lr_scheduler", "constant", "--lr_warmup_steps", "0",
+                    "--output_dir", base_dir,
+                    "--checkpointing_steps", str(args.steps1),
+                    "--validation_steps", str(args.steps1 * 2),
+                    "--num_inference_steps", "2", "--mixed_precision", "no",
+                    "--remat", "none", "--num_workers", "2", "--seed", "7",
+                    "--max_train_steps", str(args.steps1),
+                    "--conditioning_dropout_prob", "0.0",
+                ])
+            print(f"phase 2: {args.steps} branch-only steps on the frozen "
+                  f"phase-1 backbone...", flush=True)
+            train(data_root, run_dir, args.steps, args.lr, args.dim,
+                  "tracklet", args.gate_init, args.batch,
+                  pretrain_unet=os.path.join(base_dir, "unet"))
+        else:
+            print(f"training {args.steps} steps (tiny model, CPU, mode="
+                  f"{args.mode})...", flush=True)
+            train(data_root, run_dir, args.steps, args.lr, args.dim,
+                  args.mode, args.gate_init, args.batch)
 
     models, params = load_models_and_params(run_dir, args.dim)
     from svd_xtend_tpu.core.config import PipelineConfig
@@ -270,6 +324,59 @@ def main():
               f"true={row['true']} null={row['null']} wrong={row['wrong']}",
               flush=True)
 
+    # ---- denoiser-level steering probe (sharper than the sampled video):
+    # noise the 'right' lane's latents at a mid sigma, denoise once with
+    # each lane's boxes, and ask which lane's CLEAN latents the prediction
+    # moved toward. A steering model pulls toward the conditioned lane.
+    from svd_xtend_tpu.core import edm
+    from svd_xtend_tpu.diffusion.training import encode_batch
+    from svd_xtend_tpu.core.config import TrainConfig
+    from svd_xtend_tpu.diffusion.training import training_loss  # noqa: F401
+    tcfg = TrainConfig(train_mode=args.mode, tracklet_dim=args.dim,
+                       max_boxes=1, conditioning_dropout_prob=0.0)
+    lanes = ("right", "left") if "right" in results else tuple(results)[:2]
+    vids = {k: jnp.asarray(_render(_traj_boxes(k), np.random.RandomState(0))
+                           .astype(np.float32)[None] / 127.5 - 1.0)
+            for k in lanes}
+    enc = {k: encode_batch(models, params, vids[k], jax.random.PRNGKey(9),
+                           tcfg) for k in lanes}
+    unet = models.unet()
+    sigma = jnp.asarray([2.0])
+    sig_b = sigma.reshape(1, 1, 1, 1, 1)
+    denoise_probe = {}
+    for src in lanes:
+        e = enc[src]
+        noise = jax.random.normal(jax.random.PRNGKey(10), e.latents.shape)
+        noisy = e.latents + noise * sig_b
+        model_in = edm.precondition_inputs(noisy, sig_b)
+        cond = jnp.broadcast_to(e.cond_latents[:, None],
+                                e.latents.shape[:4]
+                                + (e.cond_latents.shape[-1],))
+        model_in = jnp.concatenate([model_in, cond], axis=-1)
+        from svd_xtend_tpu.diffusion.pipeline import get_add_time_ids
+        add_ids = get_add_time_ids(7.0, 127.0, e.noise_aug, 1)
+        row = {}
+        for cond_lane in lanes:
+            bxp = jnp.asarray(_traj_boxes(cond_lane))[None, :, None, :]
+            pred = unet.apply({"params": params["unet"]},
+                              model_in.astype(models.dtype),
+                              edm.sigma_to_t(sigma),
+                              e.image_embeds.astype(models.dtype), add_ids,
+                              bxp, jnp.ones((1, FRAMES, 1), jnp.float32))
+            den = edm.denoise(pred.astype(jnp.float32), noisy, sig_b)
+            row[cond_lane] = {
+                k2: round(float(jnp.mean((den - enc[k2].latents) ** 2)), 5)
+                for k2 in lanes}
+        denoise_probe[f"noisy_{src}"] = row
+    # margin > 0 == conditioning pulls the prediction toward its own lane
+    m = 0.0
+    for src in lanes:
+        row = denoise_probe[f"noisy_{src}"]
+        for cl in lanes:
+            other = [k2 for k2 in lanes if k2 != cl][0]
+            m += row[cl][other] - row[cl][cl]
+    denoise_probe["steer_margin"] = round(m / (len(lanes) ** 2), 6)
+
     def _mean(sel, key_):
         vals = [r[sel]["inside_frac"] for r in results.values()
                 if r["held_out"] == key_]
@@ -277,7 +384,8 @@ def main():
 
     summary = {
         "steps": args.steps, "lr": args.lr, "dim": args.dim,
-        "mode": args.mode, "gate_init": args.gate_init,
+        "mode": args.mode, "gate_init": args.gate_init, "batch": args.batch,
+        "denoiser_probe": denoise_probe,
         "train_inside_frac": {s: _mean(s, False)
                               for s in ("true", "null", "wrong")},
         "held_out_inside_frac": {s: _mean(s, True)
