@@ -311,6 +311,12 @@ class TrainConfig(_JsonMixin):
     max_grad_norm: float = 1.0
     use_8bit_adam: bool = False         # blockwise-int8 Adam moments (train/quant.py)
     zero1: bool = False                 # ZeRO-1: shard Adam moments + EMA over 'data'
+    # park fp32 masters (and Adam moments) in TPU host memory (pinned_host),
+    # streamed over PCIe per step — the single-chip lever for full-FT's
+    # >16 GB device footprint: 'none' | 'masters' | 'masters+moments'
+    # (parallel/sharding.py state_shardings; probe_host_offload.py measured
+    # the relay exposes pinned_host at ~5.3 GB/s)
+    host_offload: str = "none"
     # EDM
     p_mean: float = 0.7
     p_std: float = 1.6

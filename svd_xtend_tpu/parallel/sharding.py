@@ -33,7 +33,8 @@ from ..train.state import TrainState, make_train_step
 from ..core.mesh import path_str as _path_str
 
 
-def state_shardings(state: Any, mesh: Mesh, zero1: bool = False) -> Any:
+def state_shardings(state: Any, mesh: Mesh, zero1: bool = False,
+                    host_offload: str = "none") -> Any:
     """NamedSharding tree for a TrainState (or any pytree whose leaf paths end
     in parameter names — optimizer moments and EMA mirror the param tree, so
     the same name-based rules apply to them).
@@ -43,9 +44,28 @@ def state_shardings(state: Any, mesh: Mesh, zero1: bool = False) -> Any:
     replicated across dp; the Adam update runs on each rank's moment shard
     and GSPMD all-gathers the updated params — for full-UNet AdamW this cuts
     the fp32 mu/nu (2x params) to 2x/N per chip. Exact: the update is
-    elementwise, so sharding changes layout only (tests/test_sharding.py)."""
+    elementwise, so sharding changes layout only (tests/test_sharding.py).
+
+    host_offload: "none" | "masters" | "masters+moments" — park the fp32
+    master params (and the optimizer-moment tree) in TPU host memory
+    (``pinned_host``), the single-chip answer to full-FT's >16 GB device
+    footprint (PERF.md "Training throughput": the on-device fix ladder is
+    measured-refuted; the reference trains full-FT on an 80 GB A100). XLA
+    streams the offloaded leaves over PCIe around the step. EMA and the
+    frozen trees stay on device (EMA is read by validation every step
+    window; the frozen towers are forward-pass inputs)."""
     tp = mesh.shape.get(MODEL_AXIS, 1) > 1
     dp = mesh.shape.get(DATA_AXIS, 1)
+    if host_offload not in ("none", "masters", "masters+moments"):
+        raise ValueError(f"unknown host_offload mode {host_offload!r}")
+
+    def _offloaded(pstr: str) -> bool:
+        if host_offload == "none":
+            return False
+        head = pstr.split("/", 1)[0].lstrip(".")
+        if head == "params":
+            return True
+        return host_offload == "masters+moments" and head == "opt_state"
 
     def rule(path, leaf):
         if leaf is None:
@@ -63,14 +83,18 @@ def state_shardings(state: Any, mesh: Mesh, zero1: bool = False) -> Any:
                 d = max(cands, key=lambda i: leaf.shape[i])
                 parts[d] = DATA_AXIS
                 spec = P(*parts)
-        return NamedSharding(mesh, spec)
+        sh = NamedSharding(mesh, spec)
+        if _offloaded(pstr):
+            sh = sh.with_memory_kind("pinned_host")
+        return sh
 
     return jax.tree_util.tree_map_with_path(rule, state)
 
 
-def shard_train_state(state: TrainState, mesh: Mesh,
-                      zero1: bool = False) -> TrainState:
-    shardings = state_shardings(state, mesh, zero1=zero1)
+def shard_train_state(state: TrainState, mesh: Mesh, zero1: bool = False,
+                      host_offload: str = "none") -> TrainState:
+    shardings = state_shardings(state, mesh, zero1=zero1,
+                                host_offload=host_offload)
     return jax.tree.map(lambda x, s: jax.device_put(x, s), state, shardings)
 
 
@@ -120,21 +144,25 @@ def make_sharded_train_step(
     batch_axis = 1 if cfg.gradient_accumulation_steps > 1 else 0
 
     zero1 = getattr(cfg, "zero1", False)
+    host_offload = getattr(cfg, "host_offload", "none")
     _jit_cache: dict = {}
 
     def jitted(state, batch, rng):
         # pin the output state to the input shardings (donation reuses the
         # buffers; under ZeRO-1 this keeps moments dp-sharded across steps
-        # instead of letting GSPMD re-replicate them); built once — the
-        # sharding tree needs a concrete state structure
+        # instead of letting GSPMD re-replicate them, and under host
+        # offload it keeps the masters/moments in pinned_host); built once
+        # — the sharding tree needs a concrete state structure
         if "fn" not in _jit_cache:
-            out_sh = (state_shardings(state, mesh, zero1=zero1), None)
+            out_sh = (state_shardings(state, mesh, zero1=zero1,
+                                      host_offload=host_offload), None)
             _jit_cache["fn"] = jax.jit(step_fn, donate_argnums=(0,),
                                        out_shardings=out_sh)
         return _jit_cache["fn"](state, batch, rng, frozen_sharded)
 
     def place_state(state: TrainState) -> TrainState:
-        return shard_train_state(state, mesh, zero1=zero1)
+        return shard_train_state(state, mesh, zero1=zero1,
+                                 host_offload=host_offload)
 
     def place_batch(batch):
         return shard_batch(batch, mesh, batch_axis=batch_axis)

@@ -83,6 +83,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--use_8bit_adam", action="store_true",
                    help="blockwise-int8 Adam moments (reference bitsandbytes "
                         "AdamW8bit, train_svd.py:746-756)")
+    p.add_argument("--host_offload",
+                   choices=["none", "masters", "masters+moments"],
+                   default="none",
+                   help="park fp32 masters (and Adam moments) in TPU host "
+                        "memory, streamed over PCIe per step — fits "
+                        "full-UNet finetunes that exceed device HBM "
+                        "(PERF.md 'Training throughput'); TPU-only")
     p.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard optimizer moments (and EMA) over the "
                         "data axis — full-UNet AdamW states drop to 1/N per "
@@ -141,6 +148,7 @@ def build_train_config(args) -> TrainConfig:
         adam_weight_decay=args.adam_weight_decay, adam_epsilon=args.adam_epsilon,
         max_grad_norm=args.max_grad_norm, use_8bit_adam=args.use_8bit_adam,
         zero1=args.zero1, grad_dtype=args.grad_dtype,
+        host_offload=args.host_offload,
         conditioning_dropout_prob=args.conditioning_dropout_prob,
         train_mode=args.train_mode, lora_rank=args.rank, lora_alpha=args.rank,
         # 'tracklet' trains the branch alone (frozen backbone); 'full' may

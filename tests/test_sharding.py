@@ -372,3 +372,43 @@ def test_sharded_generate_frames7_matches_single_device(setup):
     multi = gen(place_params(params), place_images(images), rng, cfg)
     np.testing.assert_allclose(np.asarray(multi), np.asarray(single),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_host_offload_shardings(setup):
+    """--host_offload (cli) / TrainConfig.host_offload: the fp32 masters
+    (state.params) — and with 'masters+moments' the Adam moment tree — get
+    pinned_host memory-kind shardings; EMA, the frozen trees, and the step
+    counter stay in device memory. CPU can't EXECUTE host-placed programs
+    (no annotate_device_placement lowering), so this asserts the sharding
+    tree; the execution path is the TPU measurement in PERF.md."""
+    from svd_xtend_tpu.parallel.sharding import state_shardings
+
+    models, params = setup
+    devices = np.asarray(jax.devices()[:1])
+    mesh = Mesh(devices.reshape(1, 1), ("data", "model"))
+    cfg = TrainConfig(train_mode="full", use_ema=True, use_8bit_adam=True)
+    opt = make_optimizer(cfg)
+    unet0 = jax.tree.map(lambda x: x.copy(), params["unet"])
+    state = create_train_state(cfg, unet0, opt)
+
+    def kinds(tree):
+        return {s.memory_kind or "device"
+                for s in jax.tree.leaves(tree)}
+
+    for mode, want_params, want_moments in (
+            ("none", {"device"}, {"device"}),
+            ("masters", {"pinned_host"}, {"device"}),
+            ("masters+moments", {"pinned_host"}, {"pinned_host"})):
+        sh = state_shardings(state, mesh, host_offload=mode)
+        # memory_kind=None means the default space (device)
+        got_params = {s.memory_kind or "device"
+                      for s in jax.tree.leaves(sh.params)}
+        got_moments = {s.memory_kind or "device"
+                       for s in jax.tree.leaves(sh.opt_state)}
+        assert got_params == want_params, (mode, got_params)
+        assert got_moments == want_moments, (mode, got_moments)
+        assert kinds(sh.ema_params) == {"device"}, mode
+        assert (sh.step.memory_kind or "device") == "device", mode
+
+    with pytest.raises(ValueError):
+        state_shardings(state, mesh, host_offload="bogus")
