@@ -117,9 +117,10 @@ def build_dataset(root: str, train_kinds, seed=0):
 
 def train(data_root: str, out_dir: str, steps: int, lr: float, dim: int,
           mode: str = "full", gate_init: float = 0.0, batch: int = 1,
-          pretrain_unet: str = ""):
+          pretrain_unet: str = "", p_mean: float = 0.7, p_std: float = 1.6):
     from svd_xtend_tpu.train import cli
     argv = [
+        "--p_mean", str(p_mean), "--p_std", str(p_std),
         "--tracklet_gate_init", str(gate_init),
         "--per_device_batch_size", str(batch),
         # no decoupled weight decay: with near-zero early gradient through
@@ -223,6 +224,17 @@ def main():
                          "obj attention instead (r5 refutation ladder)")
     ap.add_argument("--steps1", type=int, default=6000,
                     help="phase-1 backbone steps (--two_phase)")
+    ap.add_argument("--p2_mean", type=float, default=0.7,
+                    help="phase-2 EDM sigma log-mean. The box-usage loss "
+                         "signal lives at HIGH sigma: at low/mid sigma the "
+                         "noisy latents already identify the lane and the "
+                         "optimizer suppresses obj-token attention instead "
+                         "(measured: warm gates stay open but the output is "
+                         "box-value-independent). E.g. 1.8 with --p2_std "
+                         "0.8 concentrates phase-2 training where only the "
+                         "boxes disambiguate")
+    ap.add_argument("--p2_std", type=float, default=1.6,
+                    help="phase-2 EDM sigma log-std")
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix="tracklet_eval_")
@@ -269,7 +281,8 @@ def main():
                   f"phase-1 backbone...", flush=True)
             train(data_root, run_dir, args.steps, args.lr, args.dim,
                   "tracklet", args.gate_init, args.batch,
-                  pretrain_unet=os.path.join(base_dir, "unet"))
+                  pretrain_unet=os.path.join(base_dir, "unet"),
+                  p_mean=args.p2_mean, p_std=args.p2_std)
         else:
             print(f"training {args.steps} steps (tiny model, CPU, mode="
                   f"{args.mode})...", flush=True)
@@ -341,41 +354,45 @@ def main():
     enc = {k: encode_batch(models, params, vids[k], jax.random.PRNGKey(9),
                            tcfg) for k in lanes}
     unet = models.unet()
-    sigma = jnp.asarray([2.0])
-    sig_b = sigma.reshape(1, 1, 1, 1, 1)
     denoise_probe = {}
-    for src in lanes:
-        e = enc[src]
-        noise = jax.random.normal(jax.random.PRNGKey(10), e.latents.shape)
-        noisy = e.latents + noise * sig_b
-        model_in = edm.precondition_inputs(noisy, sig_b)
-        cond = jnp.broadcast_to(e.cond_latents[:, None],
-                                e.latents.shape[:4]
-                                + (e.cond_latents.shape[-1],))
-        model_in = jnp.concatenate([model_in, cond], axis=-1)
-        from svd_xtend_tpu.diffusion.pipeline import get_add_time_ids
-        add_ids = get_add_time_ids(7.0, 127.0, e.noise_aug, 1)
-        row = {}
-        for cond_lane in lanes:
-            bxp = jnp.asarray(_traj_boxes(cond_lane))[None, :, None, :]
-            pred = unet.apply({"params": params["unet"]},
-                              model_in.astype(models.dtype),
-                              edm.sigma_to_t(sigma),
-                              e.image_embeds.astype(models.dtype), add_ids,
-                              bxp, jnp.ones((1, FRAMES, 1), jnp.float32))
-            den = edm.denoise(pred.astype(jnp.float32), noisy, sig_b)
-            row[cond_lane] = {
-                k2: round(float(jnp.mean((den - enc[k2].latents) ** 2)), 5)
-                for k2 in lanes}
-        denoise_probe[f"noisy_{src}"] = row
-    # margin > 0 == conditioning pulls the prediction toward its own lane
-    m = 0.0
-    for src in lanes:
-        row = denoise_probe[f"noisy_{src}"]
-        for cl in lanes:
-            other = [k2 for k2 in lanes if k2 != cl][0]
-            m += row[cl][other] - row[cl][cl]
-    denoise_probe["steer_margin"] = round(m / (len(lanes) ** 2), 6)
+    # probe at a mid sigma AND a high one: box conditioning can only matter
+    # where the noisy latents don't already identify the lane (high sigma)
+    for s in (2.0, 8.0):
+        sigma = jnp.asarray([s])
+        sig_b = sigma.reshape(1, 1, 1, 1, 1)
+        for src in lanes:
+            e = enc[src]
+            noise = jax.random.normal(jax.random.PRNGKey(10), e.latents.shape)
+            noisy = e.latents + noise * sig_b
+            model_in = edm.precondition_inputs(noisy, sig_b)
+            cond = jnp.broadcast_to(e.cond_latents[:, None],
+                                    e.latents.shape[:4]
+                                    + (e.cond_latents.shape[-1],))
+            model_in = jnp.concatenate([model_in, cond], axis=-1)
+            from svd_xtend_tpu.diffusion.pipeline import get_add_time_ids
+            add_ids = get_add_time_ids(7.0, 127.0, e.noise_aug, 1)
+            row = {}
+            for cond_lane in lanes:
+                bxp = jnp.asarray(_traj_boxes(cond_lane))[None, :, None, :]
+                pred = unet.apply({"params": params["unet"]},
+                                  model_in.astype(models.dtype),
+                                  edm.sigma_to_t(sigma),
+                                  e.image_embeds.astype(models.dtype), add_ids,
+                                  bxp, jnp.ones((1, FRAMES, 1), jnp.float32))
+                den = edm.denoise(pred.astype(jnp.float32), noisy, sig_b)
+                row[cond_lane] = {
+                    k2: round(float(jnp.mean((den - enc[k2].latents) ** 2)), 5)
+                    for k2 in lanes}
+            denoise_probe[f"noisy_{src}@s{s:g}"] = row
+        # margin > 0 == conditioning pulls the prediction toward its own lane
+        m = 0.0
+        for src in lanes:
+            row = denoise_probe[f"noisy_{src}@s{s:g}"]
+            for cl in lanes:
+                other = [k2 for k2 in lanes if k2 != cl][0]
+                m += row[cl][other] - row[cl][cl]
+        denoise_probe[f"steer_margin@s{s:g}"] = round(m / (len(lanes) ** 2), 6)
+    denoise_probe["steer_margin"] = denoise_probe[f"steer_margin@s8"]
 
     def _mean(sel, key_):
         vals = [r[sel]["inside_frac"] for r in results.values()

@@ -95,6 +95,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "data axis — full-UNet AdamW states drop to 1/N per "
                         "chip; numerically exact")
     p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
+    p.add_argument("--p_mean", type=float, default=0.7,
+                   help="EDM sigma-sampling log-mean (reference hardcodes "
+                        "0.7 at train_svd.py:1014; exposed because branch-"
+                        "only finetunes may want a high-sigma bias — box "
+                        "conditioning only disambiguates where the noisy "
+                        "latents don't)")
+    p.add_argument("--p_std", type=float, default=1.6,
+                   help="EDM sigma-sampling log-std (train_svd.py:1014)")
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--mixed_precision", choices=["no", "bf16"], default="bf16")
     p.add_argument("--grad_dtype", choices=["fp32", "bf16"], default="fp32",
@@ -149,6 +157,7 @@ def build_train_config(args) -> TrainConfig:
         max_grad_norm=args.max_grad_norm, use_8bit_adam=args.use_8bit_adam,
         zero1=args.zero1, grad_dtype=args.grad_dtype,
         host_offload=args.host_offload,
+        p_mean=args.p_mean, p_std=args.p_std,
         conditioning_dropout_prob=args.conditioning_dropout_prob,
         train_mode=args.train_mode, lora_rank=args.rank, lora_alpha=args.rank,
         # 'tracklet' trains the branch alone (frozen backbone); 'full' may
